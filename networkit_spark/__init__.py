@@ -1,0 +1,45 @@
+"""networkit_spark — a from-scratch PySpark-native link-graph analytics engine.
+
+Re-expresses the query capabilities of NetworKit (reference: bernlu/networkit,
+surveyed in SURVEY.md) as idiomatic PySpark DataFrame programs over an edge
+table derived from Common-Crawl-style web pages:
+
+- power-iteration PageRank with sink handling and L1/L2 convergence norms
+  (reference semantics: networkit/cpp/centrality/PageRank.cpp:21-134)
+- hash-min connected components
+  (networkit/cpp/components/ParallelConnectedComponents.cpp:21-84)
+- label propagation community detection (PLP)
+  (networkit/cpp/community/PLP.cpp:18-133)
+- degree-ordered triangle counting / clustering coefficients
+  (networkit/cpp/global/ClusteringCoefficient.cpp:164-207)
+
+This is NOT a port: the reference is a shared-memory C++ adjacency-list
+library; this engine is declarative DataFrame plans (Catalyst-optimized,
+whole-stage-codegen'd) plus vectorized Arrow UDFs where Spark lacks an
+operator, designed for a 1000-executor cluster over ~100 TB of pages.
+"""
+
+from networkit_spark.graph import Graph
+from networkit_spark.session import get_spark
+from networkit_spark.operators.pagerank import pagerank, PageRankResult
+from networkit_spark.operators.components import connected_components
+from networkit_spark.operators.labelprop import label_propagation
+from networkit_spark.operators.triangles import (
+    triangle_counts,
+    global_clustering_coefficient,
+    local_clustering_coefficients,
+)
+
+__all__ = [
+    "Graph",
+    "get_spark",
+    "pagerank",
+    "PageRankResult",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "global_clustering_coefficient",
+    "local_clustering_coefficients",
+]
+
+__version__ = "0.1.0"

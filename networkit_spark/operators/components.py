@@ -1,0 +1,130 @@
+"""Hash-min connected components as an iterative DataFrame program.
+
+Reference semantics: ParallelConnectedComponents
+(networkit/cpp/components/ParallelConnectedComponents.cpp:21-84) — init
+every node's label to its own id (allToSingletons, :26-27), iterate
+"take the min of my label and my neighbors' labels" (:45-47) until no
+label changes; WeaklyConnectedComponents on directed graphs follows both
+arc directions (ConnectedComponentsImpl.cpp:56-57) — here: the
+symmetrized edge table.
+
+Canonical output: label = MIN node id in the component (hash-min's fixed
+point), which is exactly the reference's component ordering (sequential
+BFS assigns component ids in ascending order of the smallest unvisited
+node id, ConnectedComponentsImpl.cpp:36-37), so `compact_labels` aligns
+with the reference's ids under canonical relabeling
+(ConnectedComponentsGTest.cpp:85-105 equivalence contract).
+
+Spark plan per superstep (converges in O(diameter) supersteps):
+    msgs = changed-labels ⋈ sym_edges on src      [shuffle join]
+    new  = (labels ∪ msgs) groupBy(id).min(label)  [partial+final min-agg]
+Active-set optimization: labels only ever DECREASE, so only nodes whose
+label changed last superstep need to re-broadcast it (mirrors the
+reference's activeNodes bookkeeping, :52-59). Late supersteps touch a tiny
+frontier — the frontier side of the join is broadcast-able and AQE picks
+that up automatically once it's under the broadcast threshold.
+
+Scale note: at web scale (10^12 edges, diameter ~ hundreds via long
+chains) plain hash-min's superstep count is bounded by graph diameter;
+the standard fix is alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+which converges in O(log² n) — planned as `connected_components_twophase`
+(see SURVEY.md §2.7 note on coarsening after 8 iterations,
+ParallelConnectedComponents.cpp:65-76, which is the same idea).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import Checkpointer
+
+
+@dataclass
+class ComponentsResult:
+    labels: DataFrame  # (id: long, label: long) — label = min id in component
+    iterations: int
+    history: list = field(default_factory=list)
+
+    def number_of_components(self) -> int:
+        return self.labels.select("label").distinct().count()
+
+    def component_sizes(self) -> DataFrame:
+        """(label, size) — Partition::subsetSizes (Partition.hpp:221)."""
+        return self.labels.groupBy("label").agg(F.count("*").alias("size"))
+
+    def compact_labels(self) -> DataFrame:
+        """(id, component) with components densely ranked 0..k-1 in ascending
+        min-id order — matches the reference's BFS discovery order."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy("label")
+        dic = (
+            self.labels.select("label").distinct()
+            .withColumn("component", F.dense_rank().over(w) - 1)
+        )
+        return self.labels.join(dic, "label").select("id", "component")
+
+
+def connected_components(
+    graph: Graph,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+    max_iterations: int | None = None,
+) -> ComponentsResult:
+    spark = graph.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, None, algorithm="connected_components")
+    sym = graph.symmetrized_edges().select("src", "dst")
+    sym = sym.repartition(
+        graph.num_partitions or spark.sparkContext.defaultParallelism, "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    labels = graph.vertices().select("id", F.col("id").alias("label"))
+    # changed flag drives the active-set frontier; everyone starts active.
+    state = labels.withColumn("changed", F.lit(True))
+
+    iterations = 0
+    history: list[dict] = []
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            iterations, state, _ = latest
+            history = [m["metrics"] for m in ckpt.history()]
+
+    n_changed = -1
+    while n_changed != 0 and (max_iterations is None or iterations < max_iterations):
+        frontier = state.filter("changed").select("id", "label")
+        msgs = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new = (
+            state.select("id", "label")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("new_label"))
+        )
+        merged = (
+            state.select("id", F.col("label").alias("old_label"))
+            .join(new, "id")
+            .select(
+                "id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("changed"),
+            )
+        )
+        iterations += 1
+        snap = ckpt.save(merged, iterations, None)
+        n_changed = snap.filter("changed").count()
+        history.append({"iteration": iterations, "changed": int(n_changed)})
+        state = snap
+
+    sym.unpersist()
+    return ComponentsResult(
+        labels=state.select("id", "label"), iterations=iterations, history=history
+    )

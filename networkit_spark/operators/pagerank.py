@@ -1,0 +1,211 @@
+"""Power-iteration PageRank with full reference semantics.
+
+Reference: networkit/cpp/centrality/PageRank.cpp:21-134 and
+include/networkit/centrality/PageRank.hpp:38-97. Semantics reproduced:
+
+1. teleport = (1-d)/n, factor = d/n; init scores to 1/n (PageRank.cpp:26-28).
+2. deg[v] = weightedDegree(v) — out-degree weight sum (PageRank.cpp:31-32).
+3. Pull superstep (PageRank.cpp:68-78):
+     pr[u] = teleport + d * Σ_{(v→u)∈E} score[v] * w(v,u) / deg[v]
+   (undirected: in-edges ≡ incident edges — handled by the symmetrized table).
+4. Sink handling (PageRank.cpp:84-91): only if directed AND
+   (distribute_sinks OR normalized); sinks = out-degree-0 nodes; every node
+   gains factor * Σ_sinks score_old[sink].
+5. Convergence (PageRank.cpp:53-63): checked after iterations+=1 against
+   maxIterations FIRST, then ||new-old|| ≤ tol with L2 (default) or L1 norm.
+6. Post-processing (PageRank.cpp:100-123):
+   - normalized: divide by (1/n)·((1-d) + d·Σ_sinks score) if directed,
+     by teleport if undirected.
+   - else if directed and NO_SINK_HANDLING: L1-normalize (score /= Σ score).
+
+Spark plan (per superstep, one shuffle pipeline, Catalyst-optimized):
+  contribs = ranks ⋈ edges_norm (ranks.id == src)            [shuffle join]
+             → groupBy(dst).agg(sum(score·frac))              [partial+final agg]
+  new      = vertices ⟕ contribs  (missing → 0)
+             [⨯ 1-row sink-mass agg, broadcast-nested-loop — no driver collect]
+  checkpointed with old score as a column so the convergence norm is a cheap
+  scan of the materialized snapshot (no extra shuffle/join).
+
+The weight/deg division is folded into the edge table ONCE before the loop
+(`edges_norm(src, dst, frac)`), persisted hash-partitioned on src — this
+removes a per-superstep join against the degree table. At 100 TB this table
+is written bucketed-by-src (Iceberg) so every superstep's gather join
+shuffles only the rank side (the small one).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import Checkpointer
+
+NO_SINK_HANDLING = "no_sink_handling"
+DISTRIBUTE_SINKS = "distribute_sinks"
+
+
+@dataclass
+class PageRankResult:
+    scores: DataFrame  # (id: long, score: double)
+    iterations: int
+    n: int
+    converged: bool
+    history: list = field(default_factory=list)  # per-iteration metrics dicts
+
+    def ranking(self, k: int | None = None) -> DataFrame:
+        """Descending (id, score) — Centrality::ranking (Centrality.hpp:55-60)."""
+        r = self.scores.orderBy(F.desc("score"), F.asc("id"))
+        return r.limit(k) if k else r
+
+    def maximum(self) -> float:
+        return self.scores.agg(F.max("score")).first()[0]
+
+
+def pagerank(
+    graph: Graph,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    normalized: bool = False,
+    distribute_sinks: str = NO_SINK_HANDLING,
+    norm: str = "l2",
+    max_iterations: int | None = None,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run PageRank to convergence (or max_iterations supersteps).
+
+    checkpointer: durable, resumable per-superstep snapshots; default is
+    ephemeral localCheckpoint lineage truncation.
+    resume=True restarts from the checkpointer's latest snapshot.
+    """
+    spark = graph.edges.sparkSession
+    ckpt = checkpointer or Checkpointer(spark, None, algorithm="pagerank")
+
+    vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
+    if n == 0:
+        raise ValueError("PageRank on empty graph")
+    teleport = (1.0 - damp) / n
+    factor = damp / n
+    max_iter = max_iterations if max_iterations is not None else 2**31
+
+    # deg[v] = weightedDegree(v); fold the division into the edge table once.
+    deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
+    edges_norm = (
+        graph.edges.join(deg, graph.edges.src == deg.id)
+        .select("src", "dst", (F.col("weight") / F.col("deg")).alias("frac"))
+        .repartition(graph.num_partitions or spark.sparkContext.defaultParallelism, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_norm.count()  # materialize before the loop
+
+    handle_sinks = graph.directed and (distribute_sinks == DISTRIBUTE_SINKS or normalized)
+    sinks = None
+    if handle_sinks:
+        # sinks = nodes with degree()==0, i.e. no out-arcs (PageRank.cpp:35-41)
+        sinks = vertices.join(
+            graph.edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sinks.count()
+
+    iterations = 0
+    history: list[dict] = []
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("score"))
+
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            iterations, snap, meta = latest
+            ranks = snap.select("id", "score")
+            history = [m["metrics"] for m in ckpt.history()]
+
+    converged = False
+    hit_tol = False
+    while not converged:
+        contribs = (
+            ranks.join(edges_norm, ranks.id == edges_norm.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("score") * F.col("frac")).alias("contrib"))
+        )
+        new = (
+            vertices.join(contribs, "id", "left")
+            .join(ranks.withColumnRenamed("score", "old_score"), "id")
+            .select(
+                "id",
+                (F.lit(teleport) + F.lit(damp) * F.coalesce("contrib", F.lit(0.0))).alias("score"),
+                "old_score",
+            )
+        )
+        if handle_sinks:
+            sink_mass = (
+                ranks.join(sinks, "id", "left_semi")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("sink_mass"))
+            )
+            new = new.crossJoin(F.broadcast(sink_mass)).select(
+                "id",
+                (F.col("score") + F.lit(factor) * F.col("sink_mass")).alias("score"),
+                "old_score",
+            )
+
+        iterations += 1
+        # Materialize the superstep (lineage truncation / durable snapshot),
+        # then compute the convergence norm as a cheap scan of the snapshot.
+        snap = ckpt.save(new, iterations, None)
+        diff_row = snap.select(
+            F.sqrt(F.sum(F.pow(F.col("score") - F.col("old_score"), 2))).alias("l2"),
+            F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("l1"),
+        ).first()
+        diff = diff_row["l2"] if norm == "l2" else diff_row["l1"]
+        history.append({"iteration": iterations, "diff": float(diff)})
+        # Reference order (PageRank.cpp:53-63): maxIterations first, then tol.
+        hit_tol = diff <= tol
+        converged = iterations >= max_iter or hit_tol
+        ranks = snap.select("id", "score")
+
+    # ---------------------------------------------------- post-processing
+    if normalized:
+        if graph.directed:
+            sink_sum = (
+                ranks.join(sinks, "id", "left_semi").agg(F.sum("score")).first()[0] or 0.0
+            )
+            norm_factor = (1.0 / n) * ((1.0 - damp) + damp * sink_sum)
+        else:
+            norm_factor = teleport
+        ranks = ranks.select("id", (F.col("score") / F.lit(norm_factor)).alias("score"))
+    elif graph.directed and distribute_sinks == NO_SINK_HANDLING:
+        total = ranks.agg(F.sum("score")).first()[0]
+        ranks = ranks.select("id", (F.col("score") / F.lit(total)).alias("score"))
+
+    vertices.unpersist()
+    edges_norm.unpersist()
+    if sinks is not None:
+        sinks.unpersist()
+
+    return PageRankResult(
+        scores=ranks,
+        iterations=iterations,
+        n=n,
+        converged=hit_tol,
+        history=history,
+    )
+
+
+def pagerank_fixed(graph: Graph, n_iter: int, damp: float = 0.85,
+                   distribute_sinks: str = DISTRIBUTE_SINKS) -> DataFrame:
+    """Exactly n_iter supersteps, no convergence check, no post-processing.
+
+    Deterministic variant used by the oracle-checked driver queries
+    (__spark_entry__.py) — the unrolled-SQL oracle mirrors it 1:1.
+    """
+    res = pagerank(
+        graph,
+        damp=damp,
+        tol=0.0,
+        distribute_sinks=distribute_sinks,
+        max_iterations=n_iter,
+    )
+    return res.scores

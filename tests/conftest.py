@@ -1,0 +1,19 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from networkit_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="networkit_spark_tests",
+        cores=int(os.environ.get("SPARK_TEST_CPUS", "4")),
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()
