@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: converged PageRank over the derived link graph
+                 at sf0.001, top-20 ranking.
+queries()      — one binding per implemented operator (SURVEY.md §2 +
+                 training-data-pipeline ops); see networkit_spark/queries.py.
+oracle_sql()   — exact DuckDB twins; see networkit_spark/oracles.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pagerank import DISTRIBUTE_SINKS, pagerank
+    from networkit_spark.sources.tables import derive_web_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    g = Graph.from_edges(derive_web_edges(spark, sf_dir), directed=True)
+    res = pagerank(g, damp=0.85, tol=1e-8, distribute_sinks=DISTRIBUTE_SINKS)
+    return res.ranking(20).select("id", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from networkit_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from networkit_spark import oracles as o
+
+    return {
+        "graph_stats": o.graph_stats_sql(),
+        "graph_degrees": o.graph_degrees_sql(),
+        "pagerank_5iter": o.pagerank_sql(),
+        "pagerank_undirected_5iter": o.pagerank_sql(undirected=True),
+        "cc_labels": o.cc_sql(),
+        "cc_sizes": o.cc_sizes_sql(),
+        "plp_labels_2iter": o.plp_sql(),
+        "triangle_total": o.triangle_total_sql(),
+        "triangle_per_node": o.triangle_per_node_sql(),
+        "local_clustering": o.local_cc_sql(),
+        "global_clustering": o.global_cc_sql(),
+        "degree_centrality": o.degree_centrality_sql(),
+        "modularity_plp": o.modularity_plp_sql(),
+        "coverage_plp": o.coverage_plp_sql(),
+        "subgraph_stats": o.subgraph_stats_sql(),
+        "compact_ids": o.compact_ids_sql(),
+        "dedup_exact": o.dedup_exact_sql(),
+        "minhash_signatures": o.minhash_sql(),
+        "lsh_candidate_pairs": o.lsh_pairs_sql(),
+        "near_dup_jaccard": o.near_dup_jaccard_sql(),
+        "simhash": o.simhash_sql(),
+        "token_stats": o.token_stats_sql(),
+        "quality_scores": o.quality_sql(),
+        "lang_id": o.lang_id_sql(),
+        "doc_fingerprint": o.fingerprint_sql(),
+        "knn_cosine_top5": o.knn_sql(),
+        "ann_lsh_buckets": o.ann_buckets_sql(),
+        "events_hourly": o.events_hourly_sql(),
+    }

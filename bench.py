@@ -1,0 +1,139 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload (the engine's bread and butter at 100 TB):
+  pagerank_5iter   — 5 supersteps of PageRank on the derived link graph
+                     (modulus scaled up so the graph is ~|lineitem| arcs)
+  cc_converge      — hash-min connected components to convergence
+  plp_2iter        — 2 synchronous label-propagation sweeps
+  triangle_total   — degree-ordered triangle count
+  rmat_pagerank    — 5 PageRank supersteps on an RMAT 2^16×16 power-law
+                     graph (degree skew stress; generator is O(m), no IO)
+  near_dup_lsh     — MinHash→LSH→Jaccard near-dup pipeline on documents
+  knn_top5         — brute-force cosine top-5, 100 queries × corpus
+
+Also reports derived throughputs (edges_per_sec for the PageRank runs) in
+the "extra" field. Scaling-efficiency evidence (same job at local[8] vs
+local[32]) lives in scripts/scaling_bench.py → SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from networkit_spark.generators import rmat
+from networkit_spark.graph import Graph
+from networkit_spark.operators.components import connected_components
+from networkit_spark.operators.dedup import near_duplicates
+from networkit_spark.operators.labelprop import label_propagation_fixed
+from networkit_spark.operators.pagerank import pagerank_fixed
+from networkit_spark.operators.similarity import brute_force_topk
+from networkit_spark.operators.triangles import triangles
+from networkit_spark.session import get_spark
+from networkit_spark.sources.tables import load_table
+
+BENCH_MODULUS = 20011  # ~|lineitem| distinct arcs at sf0.1 → real graph work
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def force(df) -> int:
+    """Fully evaluate a DataFrame (all columns), return row count."""
+    return df.agg(
+        F.count("*").alias("n"), *[F.count(c) for c in df.columns]
+    ).first()["n"]
+
+
+def derive_bench_edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % BENCH_MODULUS).alias("src"),
+            (F.col("l_partkey") % BENCH_MODULUS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        log(f"{name}: {dt:.2f}s")
+        return out
+
+    edges = derive_bench_edges(spark, sf_dir).persist()
+    m = edges.count()
+    g_dir = Graph.from_edges(edges, directed=True)
+    log(f"derived graph: {m} arcs (modulus {BENCH_MODULUS})")
+
+    timed("pagerank_5iter", lambda: force(pagerank_fixed(g_dir, n_iter=5)))
+    extra["pagerank_edges_per_sec"] = round(5 * m / times["pagerank_5iter"], 1)
+    extra["pagerank_supersteps_per_sec"] = round(5 / times["pagerank_5iter"], 3)
+
+    und = (
+        edges.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    g_und = Graph.from_edges(und, directed=False)
+    timed("cc_converge", lambda: force(connected_components(g_und).labels))
+    timed("plp_2iter", lambda: force(label_propagation_fixed(g_und, n_iter=2)))
+    timed("triangle_total", lambda: triangles(g_und).count())
+
+    # RMAT power-law stress: 2^16 nodes × 16 = ~1M directed multi-arcs.
+    rm = rmat(spark, scale=16, edge_factor=16).dropDuplicates(["src", "dst"]).persist()
+    m_rmat = rm.count()
+    g_rmat = Graph.from_edges(rm, directed=True)
+    timed("rmat_pagerank_5iter", lambda: force(pagerank_fixed(g_rmat, n_iter=5)))
+    extra["rmat_edges_per_sec"] = round(5 * m_rmat / times["rmat_pagerank_5iter"], 1)
+
+    docs = load_table(spark, sf_dir, "documents")
+    timed("near_dup_lsh", lambda: force(near_duplicates(docs, threshold=0.5)))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100)
+    timed("knn_top5", lambda: force(brute_force_topk(q, emb, k=5)))
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Partition quality measures + clustering predicates as aggregate queries.
+
+Reference semantics:
+- Modularity (networkit/cpp/community/Modularity.cpp:23-90):
+    Q = coverage − Σ_C (vol_C / (2m))²
+  where coverage = intra-cluster edge weight / total edge weight, m =
+  total edge weight (each undirected edge once), vol_C = Σ_{v∈C}
+  weightedDegree(v) with self-loop weight counted TWICE
+  (Modularity.cpp:56 — volume adds w(v,v) again).
+- Coverage (networkit/cpp/community/Coverage.cpp): the coverage term alone.
+- GraphClusteringTools::equalClusterings (networkit/cpp/community/
+  GraphClusteringTools.cpp:102-116): two clusterings are equal iff they
+  induce the same co-membership relation over all edges.
+- isProperClustering: every node has exactly one label.
+
+All are single-pass joins + aggregations — no iteration, Catalyst fuses
+the degree computation and the label joins into a few shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _edge_labels(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Each undirected edge once with both endpoint labels (+ weight)."""
+    und = (
+        graph.symmetrized_edges()
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    return und.join(lu, "u").join(lv, "v")
+
+
+def coverage(graph: Graph, labels: DataFrame) -> float:
+    """Fraction of edge weight inside clusters (Coverage.cpp)."""
+    el = _edge_labels(graph, labels)
+    row = el.agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight"))).alias("intra"),
+        F.sum("weight").alias("total"),
+    ).first()
+    return (row["intra"] or 0.0) / row["total"]
+
+
+def modularity(graph: Graph, labels: DataFrame) -> float:
+    """Q = coverage − Σ_C (vol_C / (2m))² (Modularity.cpp:44-82)."""
+    el = _edge_labels(graph, labels)
+    row = el.agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight"))).alias("intra"),
+        F.sum("weight").alias("total"),
+    ).first()
+    intra, m = (row["intra"] or 0.0), row["total"]
+
+    # vol_C: weightedDegree per node (self-loops twice) summed per label.
+    deg = graph.symmetrized_edges().groupBy(F.col("src").alias("id")).agg(
+        (
+            F.sum("weight")
+            + F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0))
+        ).alias("vol")
+    )
+    vols = (
+        labels.join(deg, "id", "left")
+        .groupBy("label")
+        .agg(F.sum(F.coalesce("vol", F.lit(0.0))).alias("vol_c"))
+    )
+    expected = vols.agg(
+        F.sum(F.pow(F.col("vol_c") / (2.0 * m), 2)).alias("e")
+    ).first()["e"]
+    return intra / m - expected
+
+
+def is_proper_clustering(graph: Graph, labels: DataFrame) -> bool:
+    """Every vertex appears exactly once with a non-null label."""
+    v = graph.vertices()
+    joined = v.join(labels, "id", "left")
+    bad = joined.filter(F.col("label").isNull()).count()
+    dup = labels.groupBy("id").count().filter("count > 1").count()
+    return bad == 0 and dup == 0 and labels.count() == v.count()
+
+
+def is_singleton_clustering(labels: DataFrame) -> bool:
+    return (
+        labels.select("label").distinct().count() == labels.count()
+    )
+
+
+def is_one_clustering(labels: DataFrame) -> bool:
+    return labels.select("label").distinct().count() == 1
+
+
+def equal_clusterings(graph: Graph, a: DataFrame, b: DataFrame) -> bool:
+    """Same co-membership over all edges (GraphClusteringTools.cpp:102-116)."""
+    ab = a.select("id", F.col("label").alias("la")).join(
+        b.select("id", F.col("label").alias("lb")), "id"
+    )
+    el = (
+        graph.symmetrized_edges()
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    u = ab.select(F.col("id").alias("u"), F.col("la").alias("lau"), F.col("lb").alias("lbu"))
+    v = ab.select(F.col("id").alias("v"), F.col("la").alias("lav"), F.col("lb").alias("lbv"))
+    joined = el.join(u, "u").join(v, "v")
+    mismatch = joined.filter(
+        (F.col("lau") == F.col("lav")) != (F.col("lbu") == F.col("lbv"))
+    ).count()
+    return mismatch == 0

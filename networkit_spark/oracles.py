@@ -1,0 +1,478 @@
+"""DuckDB oracle SQL for every driver-checked query in __spark_entry__.py.
+
+Each SQL string is the EXACT relational twin of the Spark binding in
+networkit_spark/queries.py: same derivation of the edge table
+(sources/tables.py EDGES_CTE), same hash function (md5 → lowercase hex),
+same tie-breaks, same rounding. Iterative algorithms (PageRank, hash-min
+CC, synchronous PLP) are unrolled to a FIXED superstep count so the oracle
+is plain ANSI SQL — the convergence behaviour itself is covered by pytest
+against the reference's golden fixtures (tests/).
+"""
+
+from __future__ import annotations
+
+from networkit_spark.operators.dedup import LSH_ROWS_PER_BAND, MINHASH_SEEDS
+from networkit_spark.operators.similarity import hyperplane_weights
+from networkit_spark.functions.text import LANG_MARKERS, STOPWORDS
+from networkit_spark.sources.tables import EDGES_CTE
+
+PR_ITERS = 5
+CC_ITERS = 8
+PLP_ITERS = 2
+DAMP = 0.85
+
+
+# --------------------------------------------------------------- graph SQL
+def graph_stats_sql() -> str:
+    return f"""
+WITH {EDGES_CTE}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_arcs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_und_edges
+"""
+
+
+def graph_degrees_sql() -> str:
+    return f"""
+WITH {EDGES_CTE}
+SELECT v.id,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+FROM v
+LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o ON o.id = v.id
+LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.id = v.id
+"""
+
+
+def pagerank_sql(iters: int = PR_ITERS, damp: float = DAMP, undirected: bool = False) -> str:
+    """Unrolled power iteration; directed variant distributes sink mass
+    (PageRank.cpp:84-91), matching pagerank_fixed(distribute_sinks)."""
+    table = "sym" if undirected else "edges"
+    parts = [
+        f"""outdeg AS (SELECT src AS id, CAST(SUM(weight) AS DOUBLE) AS deg
+  FROM {table} GROUP BY src)""",
+        f"""en AS (SELECT e.src, e.dst, e.weight / d.deg AS frac
+  FROM {table} e JOIN outdeg d ON d.id = e.src)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS score FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""s{k} AS (SELECT COALESCE(SUM(score), 0.0) AS mass FROM r{k - 1}
+  WHERE id NOT IN (SELECT id FROM outdeg))"""
+        )
+        parts.append(
+            f"""c{k} AS (SELECT en.dst AS id, SUM(r.score * en.frac) AS contrib
+  FROM en JOIN r{k - 1} r ON r.id = en.src GROUP BY en.dst)"""
+        )
+        sink = f" + {damp} / (SELECT n FROM nn) * (SELECT mass FROM s{k})" if not undirected else ""
+        parts.append(
+            f"""r{k} AS (SELECT v.id,
+  (1.0 - {damp}) / (SELECT n FROM nn) + {damp} * COALESCE(c.contrib, 0.0){sink} AS score
+  FROM v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT id, ROUND(score, 6) AS score FROM r{iters}
+"""
+
+
+def cc_sql(iters: int = CC_ITERS) -> str:
+    parts = ["l0 AS (SELECT id, id AS label FROM v)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""l{k} AS (SELECT id, MIN(label) AS label FROM (
+    SELECT id, label FROM l{k - 1}
+    UNION ALL
+    SELECT s.dst AS id, l.label FROM sym s JOIN l{k - 1} l ON l.id = s.src
+  ) GROUP BY id)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT id, label FROM l{iters}
+"""
+
+
+def cc_sizes_sql(iters: int = CC_ITERS) -> str:
+    inner = cc_sql(iters).strip()
+    return f"""
+SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({inner}) GROUP BY label
+"""
+
+
+def plp_sql(iters: int = PLP_ITERS) -> str:
+    parts = ["p0 AS (SELECT id, id AS label FROM v)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""h{k} AS (SELECT id, label FROM (
+    SELECT s.dst AS id, p.label, SUM(s.weight) AS w,
+           ROW_NUMBER() OVER (PARTITION BY s.dst
+                              ORDER BY SUM(s.weight) DESC, p.label ASC) AS rn
+    FROM sym s JOIN p{k - 1} p ON p.id = s.src
+    GROUP BY s.dst, p.label
+  ) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""p{k} AS (SELECT v.id, COALESCE(h.label, p.label) AS label
+  FROM v JOIN p{k - 1} p ON p.id = v.id
+  LEFT JOIN h{k} h ON h.id = v.id)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT id, label FROM p{iters}
+"""
+
+
+TRI_CTE = """
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY id),
+ord_e AS (SELECT
+    CASE WHEN (du.degree < dv.degree)
+           OR (du.degree = dv.degree AND e.u < e.v) THEN e.u ELSE e.v END AS lo,
+    CASE WHEN (du.degree < dv.degree)
+           OR (du.degree = dv.degree AND e.u < e.v) THEN e.v ELSE e.u END AS hi
+  FROM und e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM ord_e e1 JOIN ord_e e2 ON e1.hi = e2.lo
+  WHERE EXISTS (SELECT 1 FROM ord_e e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi))
+""".strip()
+
+
+def triangle_total_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
+"""
+
+
+def triangle_per_node_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+cnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY id)
+SELECT v.id, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+FROM v LEFT JOIN cnt ON cnt.id = v.id
+"""
+
+
+def local_cc_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+cnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY id)
+SELECT v.id,
+       CASE WHEN COALESCE(deg.degree, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(cnt.c, 0) / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS score
+FROM v LEFT JOIN deg ON deg.id = v.id LEFT JOIN cnt ON cnt.id = v.id
+"""
+
+
+def global_cc_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+cnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY id)
+SELECT ROUND(
+  (SELECT CAST(2 * COALESCE(SUM(c), 0) AS DOUBLE) FROM cnt)
+  / (SELECT CAST(SUM(degree * (degree - 1)) AS DOUBLE) FROM deg), 6) AS global_cc
+"""
+
+
+def degree_centrality_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY id),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)
+SELECT v.id,
+       ROUND(CAST(COALESCE(deg.degree, 0) AS DOUBLE) / ((SELECT n FROM nn) - 1.0), 6) AS score
+FROM v LEFT JOIN deg ON deg.id = v.id
+"""
+
+
+def _plp_labels_cte(iters: int = PLP_ITERS) -> str:
+    """PLP unrolled as CTE parts, final labels in `plabels`."""
+    parts = ["p0 AS (SELECT id, id AS label FROM v)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""h{k} AS (SELECT id, label FROM (
+    SELECT s.dst AS id, p.label, SUM(s.weight) AS w,
+           ROW_NUMBER() OVER (PARTITION BY s.dst
+                              ORDER BY SUM(s.weight) DESC, p.label ASC) AS rn
+    FROM sym s JOIN p{k - 1} p ON p.id = s.src
+    GROUP BY s.dst, p.label
+  ) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""p{k} AS (SELECT v.id, COALESCE(h.label, p.label) AS label
+  FROM v JOIN p{k - 1} p ON p.id = v.id
+  LEFT JOIN h{k} h ON h.id = v.id)"""
+        )
+    parts.append(f"plabels AS (SELECT id, label FROM p{iters})")
+    return ",\n".join(parts)
+
+
+def modularity_plp_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{_plp_labels_cte()},
+el AS (SELECT e.u, e.v, 1.0 AS weight, lu.label AS lu, lv.label AS lv
+  FROM und e JOIN plabels lu ON lu.id = e.u JOIN plabels lv ON lv.id = e.v),
+tot AS (SELECT SUM(CASE WHEN lu = lv THEN weight ELSE 0.0 END) AS intra,
+               SUM(weight) AS m FROM el),
+vol AS (SELECT src AS id, SUM(weight) AS vol FROM sym GROUP BY src),
+volc AS (SELECT p.label, SUM(COALESCE(vol.vol, 0.0)) AS vol_c
+  FROM plabels p LEFT JOIN vol ON vol.id = p.id GROUP BY p.label)
+SELECT ROUND(
+  (SELECT intra / m FROM tot)
+  - (SELECT SUM(POW(vol_c / (2.0 * (SELECT m FROM tot)), 2)) FROM volc), 6) AS modularity
+"""
+
+
+def coverage_plp_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{_plp_labels_cte()},
+el AS (SELECT e.u, e.v, 1.0 AS weight, lu.label AS lu, lv.label AS lv
+  FROM und e JOIN plabels lu ON lu.id = e.u JOIN plabels lv ON lv.id = e.v)
+SELECT ROUND(
+  SUM(CASE WHEN lu = lv THEN weight ELSE 0.0 END) / SUM(weight), 6) AS coverage
+FROM el
+"""
+
+
+def subgraph_stats_sql(max_id: int = 300) -> str:
+    return f"""
+WITH {EDGES_CTE}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE id < {max_id}) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und
+        WHERE u < {max_id} AND v < {max_id}) AS n_edges
+"""
+
+
+def compact_ids_sql() -> str:
+    return f"""
+WITH {EDGES_CTE}
+SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS compact_id FROM v
+"""
+
+
+# ----------------------------------------------------------- documents SQL
+_SH3 = """
+docs3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+       FROM docs3, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
+""".strip()
+
+
+def _seeds_values(n: int) -> str:
+    return ", ".join(f"({i})" for i in range(n))
+
+
+def _sigs_cte(seeds: int = MINHASH_SEEDS) -> str:
+    return f"""
+{_SH3},
+seeds AS (SELECT * FROM (VALUES {_seeds_values(seeds)}) s(seed)),
+sigs AS (SELECT doc_id, seed,
+         MIN(md5('s' || CAST(seed AS VARCHAR) || '|' || ngram)) AS minhash
+         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
+""".strip()
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def minhash_sql(seeds: int = MINHASH_SEEDS) -> str:
+    return f"""
+WITH {_sigs_cte(seeds)}
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sigs
+"""
+
+
+def _buckets_cte(seeds: int = MINHASH_SEEDS, rows: int = LSH_ROWS_PER_BAND) -> str:
+    return f"""
+{_sigs_cte(seeds)},
+buckets AS (SELECT doc_id, CAST(seed // {rows} AS INT) AS band,
+    md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, ','
+        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS bucket
+  FROM sigs GROUP BY doc_id, CAST(seed // {rows} AS INT))
+""".strip()
+
+
+def lsh_pairs_sql() -> str:
+    return f"""
+WITH {_buckets_cte()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def near_dup_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_buckets_cte()},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.ngram = a.ngram
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(COALESCE(i.i, 0) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN szs sa ON sa.doc_id = c.doc_a
+  JOIN szs sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_sql(dims: int = 16) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+dims AS (SELECT * FROM (VALUES {_seeds_values(dims)}) d(dim)),
+bits AS (SELECT doc_id, dim,
+    CASE WHEN SUM(strpos('0123456789abcdef', substr(h, dim + 1, 1)) - 1 - 7.5) > 0
+         THEN '1' ELSE '0' END AS bit
+  FROM hs CROSS JOIN dims GROUP BY doc_id, dim)
+SELECT doc_id, string_agg(bit, '' ORDER BY dim) AS simhash FROM bits GROUP BY doc_id
+"""
+
+
+def token_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def _swlist() -> str:
+    return "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def quality_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (SELECT doc_id,
+    len(w) AS n_tokens,
+    list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w) AS mean_len,
+    len(list_filter(w, x -> list_contains({_swlist()}, x))) / len(w) AS sw_ratio,
+    len(list_distinct(w)) / len(w) AS tt_ratio
+  FROM d)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(mean_len, 6) AS mean_token_len,
+       ROUND(sw_ratio, 6) AS stopword_ratio,
+       ROUND(tt_ratio, 6) AS type_token_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.4 + sw_ratio * 0.3 + tt_ratio * 0.3, 6) AS quality
+FROM base
+"""
+
+
+def lang_id_sql() -> str:
+    votes = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        mlist = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        votes.append(
+            f"""SELECT doc_id, '{lang}' AS lang,
+  len(list_filter(w, x -> list_contains({mlist}, x))) AS votes FROM d"""
+        )
+    union = "\n  UNION ALL\n  ".join(votes)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+votes AS (
+  {union}
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY votes DESC, lang ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def fingerprint_sql(n: int = 5) -> str:
+    idx = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH docs5 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+sh5 AS (SELECT doc_id, {idx} AS ngram
+        FROM docs5, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+        WHERE len(w) >= {n}),
+long_fp AS (SELECT doc_id, MIN(md5(ngram)) AS fingerprint FROM sh5 GROUP BY doc_id),
+short_fp AS (SELECT doc_id, md5(text) AS fingerprint FROM docs5 WHERE len(w) < {n})
+SELECT * FROM long_fp UNION ALL SELECT * FROM short_fp
+"""
+
+
+# ---------------------------------------------------------- embeddings SQL
+def knn_sql(k: int = 5, max_query_id: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm FROM e),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.vv, c.vv) / (q.nrm * c.nrm) AS sim
+  FROM n q, n c
+  WHERE q.vec_id < {max_query_id} AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {k}
+"""
+
+
+def ann_buckets_sql(n_planes: int = 8, dims: int = 64) -> str:
+    planes = hyperplane_weights(n_planes, dims)
+    cases = " || ".join(
+        "(CASE WHEN list_dot_product(vv, ["
+        + ", ".join(f"{w:.1f}" for w in plane)
+        + "]) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings)
+SELECT vec_id, {cases} AS bucket FROM e
+"""
+
+
+# -------------------------------------------------------------- events SQL
+def events_hourly_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS total_value
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,323 @@
+"""Driver-checked query bindings: each function takes (spark, sf_dir) and
+returns a DataFrame whose columns/values exactly match the DuckDB oracle
+in networkit_spark/oracles.py (same derivation, hashes, tie-breaks,
+rounding). __spark_entry__.py exposes these as queries().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.graphtools import continuous_node_ids
+from networkit_spark.operators.components import connected_components
+from networkit_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    simhash,
+)
+from networkit_spark.operators.labelprop import label_propagation_fixed
+from networkit_spark.operators.pagerank import pagerank_fixed
+from networkit_spark.operators.similarity import brute_force_topk, lsh_buckets
+from networkit_spark.operators.triangles import (
+    _oriented_edges,
+    triangle_counts,
+    triangles,
+)
+from networkit_spark.functions.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from networkit_spark.oracles import CC_ITERS, DAMP, PLP_ITERS, PR_ITERS
+from networkit_spark.sources.tables import derive_web_edges, load_table
+
+
+# ------------------------------------------------------------------ graphs
+def _directed_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    return Graph.from_edges(derive_web_edges(spark, sf_dir), directed=True)
+
+
+def _undirected_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Simple undirected graph over the same arcs: distinct {u, v} pairs,
+    symmetrized by Graph (mirrors the oracle's und/sym CTEs)."""
+    e = derive_web_edges(spark, sf_dir)
+    und = (
+        e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph.from_edges(und, directed=False)
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _directed_graph(spark, sf_dir)
+    und = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates(["u", "v"])
+    return (
+        g.vertices().agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(g.edges.agg(F.count("*").cast("long").alias("n_arcs")))
+        .crossJoin(und.agg(F.count("*").cast("long").alias("n_und_edges")))
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _directed_graph(spark, sf_dir)
+    out = g.out_degrees().select("id", F.col("degree").alias("out_degree"))
+    inn = g.in_degrees().select("id", F.col("in_degree"))
+    return out.join(inn, "id")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _directed_graph(spark, sf_dir)
+    scores = pagerank_fixed(g, n_iter=PR_ITERS, damp=DAMP)
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_pagerank_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    scores = pagerank_fixed(g, n_iter=PR_ITERS, damp=DAMP)
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    return connected_components(g, max_iterations=CC_ITERS).labels
+
+
+def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    res = connected_components(g, max_iterations=CC_ITERS)
+    return res.labels.groupBy("label").agg(F.count("*").cast("long").alias("size"))
+
+
+def q_plp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    return label_propagation_fixed(g, n_iter=PLP_ITERS)
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    return triangles(g).agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def q_triangle_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    return triangle_counts(g)
+
+
+def q_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    _, deg = _oriented_edges(g)
+    tri = triangle_counts(g)
+    return (
+        g.vertices()
+        .join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )
+
+
+def q_global_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    _, deg = _oriented_edges(g)
+    tri = triangle_counts(g)
+    num = tri.agg((2.0 * F.sum("triangles")).cast("double").alias("num"))
+    den = deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1)).cast("double").alias("den"))
+    return num.crossJoin(den).select(
+        F.round(F.col("num") / F.col("den"), 6).alias("global_cc")
+    )
+
+
+def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    n = g.num_vertices()
+    _, deg = _oriented_edges(g)
+    return (
+        g.vertices()
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce("degree", F.lit(0)).cast("double") / F.lit(float(n - 1)), 6
+            ).alias("score"),
+        )
+    )
+
+
+def q_modularity_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    labels = label_propagation_fixed(g, n_iter=PLP_ITERS)
+    und = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates(["u", "v"]).withColumn("weight", F.lit(1.0))
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    el = und.join(lu, "u").join(lv, "v")
+    tot = el.agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight")).otherwise(0.0)).alias("intra"),
+        F.sum("weight").alias("m"),
+    )
+    vol = g.edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("vol"))
+    volc = (
+        labels.join(vol, "id", "left")
+        .groupBy("label")
+        .agg(F.sum(F.coalesce("vol", F.lit(0.0))).alias("vol_c"))
+    )
+    expected = volc.crossJoin(F.broadcast(tot.select("m"))).agg(
+        F.sum(F.pow(F.col("vol_c") / (2.0 * F.col("m")), 2)).alias("expected")
+    )
+    return tot.crossJoin(expected).select(
+        F.round(F.col("intra") / F.col("m") - F.col("expected"), 6).alias("modularity")
+    )
+
+
+def q_coverage_plp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    labels = label_propagation_fixed(g, n_iter=PLP_ITERS)
+    und = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates(["u", "v"]).withColumn("weight", F.lit(1.0))
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    el = und.join(lu, "u").join(lv, "v")
+    return el.agg(
+        F.round(
+            F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight")).otherwise(0.0))
+            / F.sum("weight"),
+            6,
+        ).alias("coverage")
+    )
+
+
+def q_subgraph_stats(spark: SparkSession, sf_dir: str, max_id: int = 300) -> DataFrame:
+    g = _directed_graph(spark, sf_dir)
+    und = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates(["u", "v"])
+    nodes = g.vertices().filter(F.col("id") < max_id)
+    sub_e = und.filter((F.col("u") < max_id) & (F.col("v") < max_id))
+    return (
+        nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(sub_e.agg(F.count("*").cast("long").alias("n_edges")))
+    )
+
+
+def q_compact_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _directed_graph(spark, sf_dir)
+    return continuous_node_ids(g)
+
+
+# --------------------------------------------------------------- documents
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- embeddings
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(q, emb, k=5)
+
+
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------ events
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+QUERIES = {
+    "graph_stats": q_graph_stats,
+    "graph_degrees": q_graph_degrees,
+    "pagerank_5iter": q_pagerank,
+    "pagerank_undirected_5iter": q_pagerank_undirected,
+    "cc_labels": q_cc_labels,
+    "cc_sizes": q_cc_sizes,
+    "plp_labels_2iter": q_plp_labels,
+    "triangle_total": q_triangle_total,
+    "triangle_per_node": q_triangle_per_node,
+    "local_clustering": q_local_cc,
+    "global_clustering": q_global_cc,
+    "degree_centrality": q_degree_centrality,
+    "modularity_plp": q_modularity_plp,
+    "coverage_plp": q_coverage_plp,
+    "subgraph_stats": q_subgraph_stats,
+    "compact_ids": q_compact_ids,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash,
+    "lsh_candidate_pairs": q_lsh_pairs,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash": q_simhash,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "knn_cosine_top5": q_knn,
+    "ann_lsh_buckets": q_ann_buckets,
+    "events_hourly": q_events_hourly,
+}
