@@ -67,5 +67,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.fingerprint_sql(),
         "knn_cosine_top5": o.knn_sql(),
         "ann_lsh_buckets": o.ann_buckets_sql(),
+        "ann_lsh_top5": o.ann_topk_sql(),
+        "embedding_near_dups": o.embedding_near_dup_sql(threshold=0.4),
         "events_hourly": o.events_hourly_sql(),
+        # pagerank_converged / eigenvector_top20: iteration count is
+        # data-dependent (tol-driven) — intentionally no SQL twin; the
+        # driver records the weaker rows-only check and pytest holds the
+        # semantics to the reference's golden fixtures.
     }

@@ -21,7 +21,7 @@ operator, designed for a 1000-executor cluster over ~100 TB of pages.
 
 from networkit_spark.graph import Graph
 from networkit_spark.session import get_spark
-from networkit_spark.operators.pagerank import pagerank, PageRankResult
+from networkit_spark.operators.pagerank import pagerank, pagerank_fixed, PageRankResult
 from networkit_spark.operators.components import connected_components
 from networkit_spark.operators.labelprop import label_propagation
 from networkit_spark.operators.triangles import (
@@ -29,17 +29,44 @@ from networkit_spark.operators.triangles import (
     global_clustering_coefficient,
     local_clustering_coefficients,
 )
+from networkit_spark.operators.centrality import degree_centrality, eigenvector_centrality
+from networkit_spark.operators.quality import (
+    modularity,
+    coverage,
+    equal_clusterings,
+    is_proper_clustering,
+)
+from networkit_spark.operators.dedup import (
+    dedup_exact,
+    near_duplicates,
+    minhash_signatures,
+    simhash,
+)
+from networkit_spark.operators.similarity import brute_force_topk, lsh_topk
 
 __all__ = [
     "Graph",
     "get_spark",
     "pagerank",
+    "pagerank_fixed",
     "PageRankResult",
     "connected_components",
     "label_propagation",
     "triangle_counts",
     "global_clustering_coefficient",
     "local_clustering_coefficients",
+    "degree_centrality",
+    "eigenvector_centrality",
+    "modularity",
+    "coverage",
+    "equal_clusterings",
+    "is_proper_clustering",
+    "dedup_exact",
+    "near_duplicates",
+    "minhash_signatures",
+    "simhash",
+    "brute_force_topk",
+    "lsh_topk",
 ]
 
 __version__ = "0.1.0"

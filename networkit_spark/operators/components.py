@@ -75,7 +75,20 @@ def connected_components(
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
     max_iterations: int | None = None,
+    initial_labels: DataFrame | None = None,
+    shortcut: bool = True,
 ) -> ComponentsResult:
+    """initial_labels (id, label): warm start — valid whenever every given
+    label is the id of SOME vertex in the same component (e.g. the fixed
+    point of a previous run on a subgraph, used by streaming incremental
+    CC); hash-min converges to the same fixed point from any such seed.
+
+    shortcut=True adds pointer-doubling per superstep (label ←
+    min(label, label[label]) — one extra self-join): supersteps drop from
+    O(diameter) to O(log diameter) on chain-heavy graphs, the standard
+    large-star/small-star-class optimization (Kiveris et al., SoCC'14);
+    the fixed point (min id per component) is unchanged because the
+    label-of-label is always an id inside the same component."""
     spark = graph.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, None, algorithm="connected_components")
     sym = graph.symmetrized_edges().select("src", "dst")
@@ -84,7 +97,12 @@ def connected_components(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
-    labels = graph.vertices().select("id", F.col("id").alias("label"))
+    if initial_labels is not None:
+        labels = graph.vertices().join(initial_labels, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("label")
+        )
+    else:
+        labels = graph.vertices().select("id", F.col("id").alias("label"))
     # changed flag drives the active-set frontier; everyone starts active.
     state = labels.withColumn("changed", F.lit(True))
 
@@ -109,6 +127,20 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("new_label"))
         )
+        if shortcut:
+            # pointer doubling: follow one more hop through the label table
+            hop = new.select(
+                F.col("id").alias("label_id"), F.col("new_label").alias("hop_label")
+            )
+            new = (
+                new.join(hop, new.new_label == hop.label_id, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("new_label"), F.coalesce("hop_label", F.col("new_label"))
+                    ).alias("new_label"),
+                )
+            )
         merged = (
             state.select("id", F.col("label").alias("old_label"))
             .join(new, "id")

@@ -452,18 +452,55 @@ SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
 """
 
 
-def ann_buckets_sql(n_planes: int = 8, dims: int = 64) -> str:
+def _bucket_expr(n_planes: int = 8, dims: int = 64) -> str:
     planes = hyperplane_weights(n_planes, dims)
-    cases = " || ".join(
+    return " || ".join(
         "(CASE WHEN list_dot_product(vv, ["
         + ", ".join(f"{w:.1f}" for w in plane)
         + "]) > 0 THEN '1' ELSE '0' END)"
         for plane in planes
     )
+
+
+def ann_buckets_sql(n_planes: int = 8, dims: int = 64) -> str:
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings)
-SELECT vec_id, {cases} AS bucket FROM e
+SELECT vec_id, {_bucket_expr(n_planes, dims)} AS bucket FROM e
+"""
+
+
+def ann_topk_sql(k: int = 5, n_planes: int = 8, dims: int = 64) -> str:
+    """Bucketed ANN: exact cosine within each hyperplane-LSH bucket."""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+b AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm,
+             {_bucket_expr(n_planes, dims)} AS bucket FROM e),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.vv, c.vv) / (q.nrm * c.nrm) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {k}
+"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.98, n_planes: int = 8,
+                           dims: int = 64) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+b AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm,
+             {_bucket_expr(n_planes, dims)} AS bucket FROM e)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         ROUND(list_dot_product(a.vv, c.vv) / (a.nrm * c.nrm), 4) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+) WHERE sim >= {threshold}
 """
 
 

@@ -273,6 +273,47 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.similarity import embedding_near_duplicates
+
+    # The synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51) — 0.4 keeps the driver check non-degenerate; production
+    # near-dup threshold is 0.98 (tests/test_similarity.py).
+    return embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ------------------------------------------------- rows-only (no SQL twin)
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-mode PageRank (tol-driven superstep count is data-
+    dependent — not expressible as fixed ANSI SQL; driver records the
+    rows-only check, pytest covers the semantics on golden fixtures)."""
+    from networkit_spark.operators.pagerank import DISTRIBUTE_SINKS, pagerank
+
+    g = _directed_graph(spark, sf_dir)
+    res = pagerank(g, damp=DAMP, tol=1e-8, distribute_sinks=DISTRIBUTE_SINKS)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_eigenvector_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import eigenvector_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    ev = eigenvector_centrality(g, tol=1e-6, max_iterations=50)
+    return (
+        ev.orderBy(F.desc("score"), F.asc("id"))
+        .limit(20)
+        .select("id", F.round("score", 4).alias("score"))
+    )
+
+
 # ------------------------------------------------------------------ events
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -319,5 +360,9 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "knn_cosine_top5": q_knn,
     "ann_lsh_buckets": q_ann_buckets,
+    "ann_lsh_top5": q_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "events_hourly": q_events_hourly,
+    "pagerank_converged": q_pagerank_converged,
+    "eigenvector_top20": q_eigenvector_top20,
 }

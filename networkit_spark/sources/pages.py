@@ -133,13 +133,18 @@ def generate_pages(
         F.col("pid").cast("string"),
     )
 
-    targets = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(out_links - 1)),
-            lambda j: F.abs(F.xxhash64(F.lit(seed), F.col("pid"), j)) % n_pages,
-        ),
-        lambda t: t != F.col("pid"),
-    )
+    if out_links > 0:
+        # NB: F.sequence(0, k) with k < 0 yields a DESCENDING sequence, not
+        # an empty array — guard the zero-out-links case explicitly.
+        targets = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(out_links - 1)),
+                lambda j: F.abs(F.xxhash64(F.lit(seed), F.col("pid"), j)) % n_pages,
+            ),
+            lambda t: t != F.col("pid"),
+        )
+    else:
+        targets = F.array().cast("array<bigint>")
     anchors = F.aggregate(
         targets,
         F.lit(""),

@@ -1,0 +1,96 @@
+"""Structured-Streaming analogs of the reference's dynamic-graph layer.
+
+Reference: networkit/cpp/dynamics/ (GraphEvent streams: edge additions /
+removals consumed by DynConnectedComponents etc., DGS reader in
+graphio). The Spark-native mapping (SURVEY.md §2.5 streaming row):
+
+- an edge-event stream is just a streaming DataFrame
+  (ts, src, dst, weight, op) — readStream from any source;
+- windowed edge statistics = watermark + window aggregation (stateful,
+  incremental, late-data tolerant);
+- incremental connected components = foreachBatch: each micro-batch's
+  new edges are unioned into the durable edge table and hash-min CC is
+  re-run WARM-STARTED from the previous labels (labels only ever
+  decrease when edges are added, so the previous fixed point is a valid
+  initialization — supersteps needed per batch ≈ how far the new edges
+  moved the frontier, not the graph diameter).
+
+Incremental-only (additions). Removals invalidate the monotonicity and
+need full recompute or decremental structures — same as the reference's
+DynCC which handles deletions with a BFS repair; out of scope here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.components import connected_components
+
+
+def edge_events_from_stream(stream: DataFrame, ts_col: str = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Normalize a raw event stream to (ts, src, dst, weight) with a
+    watermark for stateful ops downstream."""
+    return (
+        stream.select(
+            F.col(ts_col).alias("ts"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+        )
+        .withWatermark("ts", watermark)
+    )
+
+
+def windowed_edge_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per-window, per-src edge counts — the streaming degree table.
+    Works on both batch and streaming DataFrames (same plan)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "src")
+        .agg(F.count("*").cast("long").alias("n_edges"),
+             F.sum("weight").alias("w_degree"))
+        .select(F.col("win.start").alias("window_start"), "src", "n_edges", "w_degree")
+    )
+
+
+class incremental_connected_components:
+    """foreachBatch sink maintaining CC labels over an append-only edge
+    stream.
+
+    Usage:
+        icc = incremental_connected_components(spark)
+        q = (events.writeStream.foreachBatch(icc).outputMode("update").start())
+        ... icc.labels  # current labels DataFrame after each batch
+
+    Warm start: each batch initializes labels to the previous fixed point
+    for existing vertices (new vertices start as singletons); hash-min
+    then only propagates the effect of the new edges.
+    """
+
+    def __init__(self, spark, num_partitions: int | None = None):
+        self.spark = spark
+        self.num_partitions = num_partitions
+        self.edges: DataFrame | None = None
+        self.labels: DataFrame | None = None
+        self.batches = 0
+        self.history: list[dict] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int):
+        new_edges = batch_df.select("src", "dst").withColumn("weight", F.lit(1.0))
+        if self.edges is None:
+            self.edges = new_edges.localCheckpoint(eager=True)
+        else:
+            self.edges = (
+                self.edges.unionByName(new_edges)
+                .dropDuplicates(["src", "dst"])
+                .localCheckpoint(eager=True)
+            )
+        g = Graph.from_edges(self.edges, directed=False,
+                             num_partitions=self.num_partitions)
+        # warm start from the previous fixed point (new vertices fall back
+        # to singleton labels inside connected_components)
+        res = connected_components(g, initial_labels=self.labels)
+        self.labels = res.labels.localCheckpoint(eager=True)
+        self.batches += 1
+        self.history.append({"batch": int(batch_id), "supersteps": res.iterations})

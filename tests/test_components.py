@@ -1,0 +1,85 @@
+"""Connected components: reference fixtures (ConnectedComponentsGTest),
+BFS oracle agreement, and checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.components import connected_components
+from networkit_spark.plans.iterative import Checkpointer
+from tests.fixtures import F1_COMPONENTS, F1_EDGES, F1_N, erdos_renyi
+from tests.oracle.components import components_oracle
+
+
+def test_f1_five_components(spark):
+    """ConnectedComponentsGTest.cpp:32-61 — exactly 5 components."""
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    res = connected_components(g)
+    assert res.number_of_components() == F1_COMPONENTS
+    labels = {r["id"]: r["label"] for r in res.labels.collect()}
+    oracle = components_oracle(F1_N, F1_EDGES)
+    assert labels == oracle  # hash-min fixed point = min id per component
+
+
+def test_f1_structure(spark):
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    labels = {r["id"]: r["label"] for r in connected_components(g).labels.collect()}
+    assert labels[0] == labels[19]   # chain 0..19 connected
+    assert labels[3] == labels[9]
+    assert labels[13] == labels[14]
+    assert labels[15] == 15          # isolated singleton
+
+
+def test_er_vs_oracle(spark):
+    edges = erdos_renyi(60, 0.04, seed=7)
+    g = Graph.from_pairs(spark, edges, directed=False, n=60)
+    labels = {r["id"]: r["label"] for r in connected_components(g).labels.collect()}
+    assert labels == components_oracle(60, edges)
+
+
+def test_directed_weakly_connected(spark):
+    """WCC on directed graph follows both directions
+    (ConnectedComponentsImpl.cpp:56-57)."""
+    g = Graph.from_pairs(spark, [(0, 1), (2, 1), (3, 4)], directed=True, n=5)
+    res = connected_components(g)
+    assert res.number_of_components() == 2
+
+
+def test_compact_labels(spark):
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    res = connected_components(g)
+    compact = {r["id"]: r["component"] for r in res.compact_labels().collect()}
+    # dense 0..k-1, ordered by min-id (reference BFS discovery order)
+    assert sorted(set(compact.values())) == list(range(F1_COMPONENTS))
+    assert compact[0] == 0 and compact[15] == compact[15]
+
+
+def test_component_sizes(spark):
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    sizes = {r["label"]: r["size"] for r in
+             connected_components(g).component_sizes().collect()}
+    assert sum(sizes.values()) == F1_N
+    assert sizes[13] == 2 and sizes[15] == 1
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """A run killed after k supersteps resumes from the durable snapshot
+    and converges to the same labels as an uninterrupted run."""
+    edges = erdos_renyi(40, 0.06, seed=3)
+    g = Graph.from_pairs(spark, edges, directed=False, n=40)
+
+    straight = {r["id"]: r["label"] for r in connected_components(g).labels.collect()}
+
+    path = str(tmp_path / "cc_ckpt")
+    ck1 = Checkpointer(spark, path, algorithm="cc")
+    partial = connected_components(g, checkpointer=ck1, max_iterations=1)
+    assert partial.iterations == 1
+
+    ck2 = Checkpointer(spark, path, algorithm="cc")
+    resumed = connected_components(g, checkpointer=ck2, resume=True)
+    assert resumed.iterations > 1  # continued from snapshot, not restarted
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == straight
+    # snapshot metadata carries per-partition lineage + iteration metrics
+    hist = ck2.history()
+    assert hist and all("files" in m for m in hist)

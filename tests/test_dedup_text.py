@@ -1,0 +1,118 @@
+"""Dedup + text-analysis operators on hand-built document fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from networkit_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    ngram_jaccard,
+    simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "a completely different document about spark sql joins and aggregations here"),
+    (4, "el rapido zorro marron salta sobre el perro perezoso junto al rio"),
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs)
+    dup = groups.filter("n_docs > 1").collect()
+    assert len(dup) == 1 and dup[0]["n_docs"] == 2 and dup[0]["min_doc_id"] == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter("doc_id = 1").count() == 0  # dup dropped, min kept
+
+
+def test_minhash_signature_shape(docs):
+    sigs = minhash_signatures(docs)
+    # doc 5 has < 3 tokens → no shingles → no signature rows
+    assert sigs.filter("doc_id = 5").count() == 0
+    per_doc = sigs.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 8 for r in per_doc)
+    # identical docs → identical signatures
+    s0 = {(r["seed"], r["minhash"]) for r in sigs.filter("doc_id = 0").collect()}
+    s1 = {(r["seed"], r["minhash"]) for r in sigs.filter("doc_id = 1").collect()}
+    assert s0 == s1
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+
+
+def test_jaccard_values(docs):
+    spark = docs.sparkSession
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_near_duplicates_pipeline(docs):
+    nd = near_duplicates(docs, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in nd.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_simhash_properties(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in fp.values())
+    assert fp[0] == fp[1]  # identical docs → identical fingerprint
+    ham02 = sum(a != b for a, b in zip(fp[0], fp[2]))
+    ham03 = sum(a != b for a, b in zip(fp[0], fp[3]))
+    assert ham02 <= ham03  # near-dup closer than unrelated doc
+
+
+def test_token_stats(docs):
+    st = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert st[5]["n_tokens"] == 2
+    assert st[0]["n_tokens"] == 14
+    assert st[0]["n_distinct_tokens"] == 12  # 'the' ×3
+    assert st[5]["n_chars"] == len("short text")
+    assert st[5]["bpe_est"] == 3  # ceil(10/4)
+
+
+def test_quality_scores(docs):
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[0]["stopword_ratio"] == round(3 / 14, 6)
+    assert q[5]["stopword_ratio"] == 0.0
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["type_token_ratio"] == round(12 / 14, 6)
+
+
+def test_language_id(docs):
+    lang = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "es"  # 'el' ×2 beats everything
+
+
+def test_fingerprints(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert len(fp) == len(DOCS)
+    assert fp[0] == fp[1]          # identical docs, identical fingerprint
+    assert fp[0] != fp[3]
+    assert len(fp[5]) == 32        # short doc falls back to whole-text md5

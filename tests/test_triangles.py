@@ -1,0 +1,64 @@
+"""Triangle counting / clustering coefficients: the 18/34 golden fixture
+(GlobalGTest.cpp:29-41) and brute-force oracle agreement."""
+
+import numpy as np
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.triangles import (
+    global_clustering_coefficient,
+    local_clustering_coefficients,
+    total_triangles,
+    triangle_counts,
+)
+from tests.fixtures import F2_EDGES, F2_GLOBAL_CC, F2_N, F2_TOTAL_TRIANGLES, erdos_renyi
+from tests.oracle.triangles import triangles_oracle
+
+
+def test_golden_global_cc(spark):
+    g = Graph.from_pairs(spark, F2_EDGES, directed=False, n=F2_N)
+    assert abs(global_clustering_coefficient(g) - F2_GLOBAL_CC) < 1e-12
+
+
+def test_golden_total(spark):
+    g = Graph.from_pairs(spark, F2_EDGES, directed=False, n=F2_N)
+    assert total_triangles(g) == F2_TOTAL_TRIANGLES
+
+
+def test_golden_per_node(spark):
+    g = Graph.from_pairs(spark, F2_EDGES, directed=False, n=F2_N)
+    got = {r["id"]: r["triangles"] for r in triangle_counts(g).collect()}
+    oracle = triangles_oracle(F2_N, F2_EDGES)["per_node"]
+    assert got == oracle
+
+
+def test_er_vs_oracle(spark):
+    edges = erdos_renyi(40, 0.2, seed=5)
+    g = Graph.from_pairs(spark, edges, directed=False, n=40)
+    oracle = triangles_oracle(40, edges)
+    assert total_triangles(g) == oracle["total"]
+    got = {r["id"]: r["triangles"] for r in triangle_counts(g).collect()}
+    assert got == oracle["per_node"]
+    assert abs(global_clustering_coefficient(g) - oracle["global_cc"]) < 1e-12
+
+
+def test_local_cc(spark):
+    edges = erdos_renyi(30, 0.25, seed=9)
+    g = Graph.from_pairs(spark, edges, directed=False, n=30)
+    oracle = triangles_oracle(30, edges)
+    per, adj_deg = oracle["per_node"], {}
+    for u, v in edges:
+        adj_deg[u] = adj_deg.get(u, 0) + 1
+        adj_deg[v] = adj_deg.get(v, 0) + 1
+    got = {r["id"]: r["score"] for r in local_clustering_coefficients(g).collect()}
+    for u in range(30):
+        d = adj_deg.get(u, 0)
+        expect = 2.0 * per[u] / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(got[u] - expect) < 1e-12, u
+
+
+def test_multi_edges_and_self_loops_ignored(spark):
+    """Triangle input is the simple undirected graph: self-loops dropped,
+    multi-edges collapsed (LocalClusteringCoefficient.cpp:8-13)."""
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2)]
+    g = Graph.from_pairs(spark, edges, directed=True, n=3)
+    assert total_triangles(g) == 1
