@@ -189,6 +189,100 @@ class Graph:
             return _symmetrize(self.edges)
         return self.edges
 
+    # ----------------------------------------------------- mutation (DML)
+    # The reference mutates Graph in place (addEdge/removeEdge/setWeight —
+    # Graph.hpp:1048-1475, graph.pyx:297-564); the Spark-native analog is
+    # functional: each op returns a NEW Graph over a derived edge table
+    # (at scale: an Iceberg MERGE/append producing a new snapshot).
+
+    def _with_edges(self, edges: DataFrame, vertices: DataFrame | None = None) -> "Graph":
+        return Graph(edges=edges, directed=self.directed, weighted=self.weighted,
+                     _vertices=vertices if vertices is not None else self._vertices,
+                     num_partitions=self.num_partitions)
+
+    def add_edges(self, new_edges: DataFrame, check_multi_edge: bool = False) -> "Graph":
+        """addEdge/addEdges (Graph.cpp:472-526): append rows; dedup only
+        when check_multi_edge (reference default keeps multi-edges)."""
+        e = _normalize_edges(new_edges, self.weighted)
+        if not self.directed:
+            e = _symmetrize(e)
+        merged = self.edges.unionByName(e)
+        if check_multi_edge:
+            merged = merged.dropDuplicates(["src", "dst"])
+        return self._with_edges(merged)
+
+    def remove_edges(self, to_remove: DataFrame) -> "Graph":
+        """removeEdge (graph.pyx:532): anti-join; undirected removes both
+        stored directions."""
+        pairs = to_remove.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        if not self.directed:
+            pairs = pairs.unionByName(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        return self._with_edges(self.edges.join(pairs, ["src", "dst"], "left_anti"))
+
+    def remove_self_loops(self) -> "Graph":
+        """removeSelfLoops (graph.pyx:552)."""
+        return self._with_edges(self.edges.filter(F.col("src") != F.col("dst")))
+
+    def remove_multi_edges(self) -> "Graph":
+        """removeMultiEdges (graph.pyx:564): keep one row per (src, dst)."""
+        return self._with_edges(self.edges.dropDuplicates(["src", "dst"]))
+
+    def set_weight(self, u: int, v: int, w: float) -> "Graph":
+        """setWeight (Graph.hpp:1447): point update; undirected updates the
+        mirrored row too (reference stores both directions)."""
+        hit = (F.col("src") == u) & (F.col("dst") == v)
+        if not self.directed:
+            hit = hit | ((F.col("src") == v) & (F.col("dst") == u))
+        updated = self.edges.withColumn(
+            "weight", F.when(hit, F.lit(float(w))).otherwise(F.col("weight"))
+        )
+        return Graph(edges=updated, directed=self.directed, weighted=True,
+                     _vertices=self._vertices, num_partitions=self.num_partitions)
+
+    def increase_weight(self, u: int, v: int, dw: float) -> "Graph":
+        """increaseWeight (Graph.hpp:1475)."""
+        hit = (F.col("src") == u) & (F.col("dst") == v)
+        if not self.directed:
+            hit = hit | ((F.col("src") == v) & (F.col("dst") == u))
+        updated = self.edges.withColumn(
+            "weight",
+            F.when(hit, F.col("weight") + F.lit(float(dw))).otherwise(F.col("weight")),
+        )
+        return Graph(edges=updated, directed=self.directed, weighted=True,
+                     _vertices=self._vertices, num_partitions=self.num_partitions)
+
+    def add_nodes(self, ids: DataFrame) -> "Graph":
+        """addNodes (graph.pyx:297): extend the explicit vertex set."""
+        v = self.vertices().unionByName(
+            ids.select(F.col("id").cast("long").alias("id"))
+        ).distinct()
+        return self._with_edges(self.edges, vertices=v)
+
+    def remove_node(self, node: int) -> "Graph":
+        """removeNode (graph.pyx:345): drop the vertex and all incident
+        edges (id holes are fine — ids are arbitrary longs here)."""
+        e = self.edges.filter((F.col("src") != node) & (F.col("dst") != node))
+        v = self.vertices().filter(F.col("id") != node)
+        return self._with_edges(e, vertices=v)
+
+    def has_edge(self, u: int, v: int) -> bool:
+        """hasEdge (Graph.hpp:1350): point-lookup filter."""
+        return (
+            self.edges.filter((F.col("src") == u) & (F.col("dst") == v)).limit(1).count()
+            > 0
+        )
+
+    def has_node(self, u: int) -> bool:
+        return self.vertices().filter(F.col("id") == u).limit(1).count() > 0
+
+    def weight_of(self, u: int, v: int) -> float | None:
+        """weight(u,v) (Graph.hpp:1437); None when the edge is absent
+        (reference returns 0.0 / nullWeight)."""
+        row = self.edges.filter((F.col("src") == u) & (F.col("dst") == v)).first()
+        return float(row["weight"]) if row else None
+
     def simple_undirected_edges(self) -> DataFrame:
         """Canonical simple undirected edge set: (u < v), deduped, no
         self-loops — the triangle/orientation input
