@@ -49,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
         "plp_labels_2iter": o.plp_sql(),
         "triangle_total": o.triangle_total_sql(),
         "triangle_per_node": o.triangle_per_node_sql(),
+        "triangle_edge_scores": o.triangle_edge_scores_sql(),
         "local_clustering": o.local_cc_sql(),
         "global_clustering": o.global_cc_sql(),
         "degree_centrality": o.degree_centrality_sql(),

@@ -115,6 +115,108 @@ def global_clustering_coefficient(graph: Graph) -> float:
     return num / den
 
 
+def triangle_edge_scores(graph: Graph) -> DataFrame:
+    """(u, v, triangles) — triangles containing each simple undirected
+    edge {u,v} (u < v). Reference: TriangleEdgeScore
+    (networkit/cpp/edgescores/TriangleEdgeScore.cpp:18-120); same
+    degree-ordered enumeration, scores scattered back to the three edges
+    of each triangle. Every edge present, 0 when in no triangle."""
+    tri = triangles(graph)
+    sides = (
+        tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .unionByName(tri.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")))
+        .unionByName(tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")))
+    )
+    cnt = sides.groupBy("u", "v").agg(F.count("*").alias("triangles"))
+    return (
+        graph.simple_undirected_edges()
+        .join(cnt, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def approx_global_clustering_coefficient(graph: Graph, n_samples: int = 10000,
+                                         seed: int = 42) -> float:
+    """Wedge-sampling estimator (ClusteringCoefficient::approxGlobal,
+    networkit/cpp/global/ClusteringCoefficient.cpp:209-270): sample
+    wedges proportionally to deg·(deg-1) per pivot, test closure; the
+    closed fraction estimates the global coefficient.
+
+    Deterministic: pivots drawn by hashing the sample index against the
+    cumulative wedge-count distribution; wedge endpoints drawn by hashed
+    index into the pivot's (sorted) adjacency — no RNG state, executors
+    regenerate their samples independently."""
+    simple = graph.simple_undirected_edges()
+    adj = (
+        simple.select(F.col("u").alias("id"), F.col("v").alias("nbr"))
+        .unionByName(simple.select(F.col("v").alias("id"), F.col("u").alias("nbr")))
+    )
+    # adjacency arrays + per-pivot wedge counts
+    nbrs = adj.groupBy("id").agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+    nbrs = nbrs.withColumn("deg", F.size("nbrs")).filter(F.col("deg") >= 2)
+    nbrs = nbrs.withColumn("wedges", (F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    # NB: named cum_off, not "offset" — DataFrame.offset() is a method in
+    # pyspark 4 and attribute access would resolve to it, not the column.
+    cum = nbrs.withColumn("cum_off", F.coalesce(F.sum("wedges").over(w), F.lit(0)))
+    total_wedges = cum.agg(F.sum("wedges")).first()[0] or 0
+    if total_wedges == 0:
+        return 0.0
+
+    spark = graph.edges.sparkSession
+    samples = spark.range(n_samples).select(
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(total_wedges))).alias("widx"),
+        F.col("id").alias("sample_id"),
+    )
+    # pivot = the vertex whose cumulative wedge range contains widx
+    picked = samples.join(
+        cum,
+        (samples.widx >= cum.cum_off) & (samples.widx < cum.cum_off + cum.wedges),
+    )
+    # unrank wedge (i, j) within the pivot: i < j over deg neighbors
+    picked = picked.select(
+        "sample_id",
+        "nbrs",
+        "deg",
+        (F.col("widx") - F.col("cum_off")).alias("k"),
+    )
+    # linear unranking: i = floor(((2d-1) - sqrt((2d-1)^2 - 8k)) / 2)
+    d = F.col("deg").cast("double")
+    k = F.col("k").cast("double")
+    i = F.floor(((2 * d - 1) - F.sqrt((2 * d - 1) * (2 * d - 1) - 8 * k)) / 2)
+    j = (F.col("k") - i * (2 * d - i - 1) / 2 + i + 1).cast("long")
+    wedge = picked.select(
+        "sample_id",
+        F.element_at("nbrs", (i + 1).cast("int")).alias("x"),
+        F.element_at("nbrs", (j + 1).cast("int")).alias("y"),
+    )
+    closed = wedge.join(
+        simple,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+        "left_semi",
+    ).count()
+    return closed / n_samples
+
+
+def extract_largest_connected_component(graph: Graph, compact: bool = False) -> Graph:
+    """ConnectedComponents::extractLargestConnectedComponent
+    (ConnectedComponentsImpl.cpp:71-95): induced subgraph on the biggest
+    component; compact=True relabels ids to 0..n-1."""
+    from networkit_spark.graphtools import compact_graph, subgraph_from_nodes
+    from networkit_spark.operators.components import connected_components
+
+    res = connected_components(graph)
+    top = (
+        res.component_sizes().orderBy(F.desc("size"), F.asc("label")).limit(1)
+        .select("label")
+    )
+    members = res.labels.join(F.broadcast(top), "label").select("id")
+    sub = subgraph_from_nodes(graph, members)
+    return compact_graph(sub) if compact else sub
+
+
 def local_clustering_coefficients(graph: Graph, turbo: bool = True) -> DataFrame:
     """(id, score) — LocalClusteringCoefficient.cpp:82: score[u] =
     2·tri(u) / (deg(u)·(deg(u)-1)); 0 when deg < 2. (`turbo` kept for API

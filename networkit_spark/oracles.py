@@ -164,6 +164,21 @@ FROM v LEFT JOIN cnt ON cnt.id = v.id
 """
 
 
+def triangle_edge_scores_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+sides AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+),
+cnt AS (SELECT u, v, COUNT(*) AS c FROM sides GROUP BY u, v)
+SELECT e.u, e.v, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+FROM und e LEFT JOIN cnt ON cnt.u = e.u AND cnt.v = e.v
+"""
+
+
 def local_cc_sql() -> str:
     return f"""
 WITH {EDGES_CTE},

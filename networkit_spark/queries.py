@@ -110,6 +110,13 @@ def q_triangle_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(g)
 
 
+def q_triangle_edge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_edge_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return triangle_edge_scores(g)
+
+
 def q_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _undirected_graph(spark, sf_dir)
     _, deg = _oriented_edges(g)
@@ -342,6 +349,7 @@ QUERIES = {
     "plp_labels_2iter": q_plp_labels,
     "triangle_total": q_triangle_total,
     "triangle_per_node": q_triangle_per_node,
+    "triangle_edge_scores": q_triangle_edge_scores,
     "local_clustering": q_local_cc,
     "global_clustering": q_global_cc,
     "degree_centrality": q_degree_centrality,

@@ -144,3 +144,27 @@ def test_checkpoint_resume(spark, tmp_path):
     # snapshot metadata carries per-iteration lineage
     metas = ck2.history()
     assert metas and all("files" in m and m["files"] for m in metas)
+
+
+def test_checkpoint_resume_pagerank(spark, tmp_path):
+    """Durable snapshots: a run killed mid-iteration resumes and produces
+    the same scores as an uninterrupted run."""
+    from networkit_spark.plans.iterative import Checkpointer
+
+    g = Graph.from_pairs(spark, F3_EDGES_DIRECTED, directed=True, n=F3_N)
+    straight = pagerank(g, tol=1e-10, distribute_sinks=DISTRIBUTE_SINKS)
+
+    path = str(tmp_path / "pr_ckpt")
+    ck1 = Checkpointer(spark, path, algorithm="pagerank")
+    partial = pagerank(g, tol=1e-10, distribute_sinks=DISTRIBUTE_SINKS,
+                       max_iterations=3, checkpointer=ck1)
+    assert partial.iterations == 3
+
+    ck2 = Checkpointer(spark, path, algorithm="pagerank")
+    resumed = pagerank(g, tol=1e-10, distribute_sinks=DISTRIBUTE_SINKS,
+                       checkpointer=ck2, resume=True)
+    assert resumed.iterations > 3
+    a = _scores_list(straight, F3_N)
+    b = _scores_list(resumed, F3_N)
+    assert np.allclose(a, b, atol=1e-12)
+    assert resumed.iterations == straight.iterations

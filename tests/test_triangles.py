@@ -62,3 +62,45 @@ def test_multi_edges_and_self_loops_ignored(spark):
     edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2)]
     g = Graph.from_pairs(spark, edges, directed=True, n=3)
     assert total_triangles(g) == 1
+
+
+def test_triangle_edge_scores(spark):
+    """TriangleEdgeScore.cpp parity on the golden 6-node graph: each
+    triangle contributes 1 to each of its three edges."""
+    from networkit_spark.operators.triangles import triangle_edge_scores
+
+    g = Graph.from_pairs(spark, F2_EDGES, directed=False, n=F2_N)
+    got = {(r["u"], r["v"]): r["triangles"] for r in triangle_edge_scores(g).collect()}
+    # triangles: {1,2,3},{1,2,4},{2,3,5}
+    expect = {
+        (0, 1): 0, (1, 2): 2, (1, 3): 1, (1, 4): 1,
+        (2, 3): 2, (2, 4): 1, (2, 5): 1, (3, 5): 1,
+    }
+    assert got == expect
+
+
+def test_approx_global_cc(spark):
+    from networkit_spark.operators.triangles import (
+        approx_global_clustering_coefficient,
+    )
+
+    g = Graph.from_pairs(spark, F2_EDGES, directed=False, n=F2_N)
+    est = approx_global_clustering_coefficient(g, n_samples=20000, seed=1)
+    assert abs(est - F2_GLOBAL_CC) < 0.03
+    # deterministic under a fixed seed
+    est2 = approx_global_clustering_coefficient(g, n_samples=20000, seed=1)
+    assert est == est2
+
+
+def test_extract_largest_component(spark):
+    from networkit_spark.operators.triangles import (
+        extract_largest_connected_component,
+    )
+    from tests.fixtures import F1_EDGES, F1_N
+
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    lcc = extract_largest_connected_component(g)
+    ids = sorted(r["id"] for r in lcc.vertices().collect())
+    assert ids == [0, 1, 2, 4, 8, 16, 19]
+    compacted = extract_largest_connected_component(g, compact=True)
+    assert sorted(r["id"] for r in compacted.vertices().collect()) == list(range(7))
