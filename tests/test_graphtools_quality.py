@@ -125,3 +125,33 @@ def test_eigenvector_centrality(spark):
     principal = np.abs(vecs[:, np.argmax(w)])
     got = np.array([ev[i] for i in range(4)])
     assert np.allclose(got, principal, atol=1e-5)
+
+
+def test_katz_centrality(spark):
+    """Katz vs numpy closed form x = (I - αAᵀ)⁻¹ β𝟙 (normalized)."""
+    from networkit_spark.operators.centrality import katz_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    g = Graph.from_pairs(spark, edges, directed=True, n=4)
+    got = {r["id"]: r["score"] for r in
+           katz_centrality(g, alpha=0.1, beta=1.0, tol=1e-12).collect()}
+    A = np.zeros((4, 4))
+    for u, v in edges:
+        A[u, v] = 1.0
+    x = np.linalg.solve(np.eye(4) - 0.1 * A.T, np.ones(4) * 1.0)
+    # engine iterates from 0 → geometric series INCLUDING the +β term;
+    # closed form x solves the same fixed point; compare normalized
+    x = x / np.linalg.norm(x)
+    got_v = np.array([got[i] for i in range(4)])
+    assert np.allclose(got_v, x, atol=1e-6)
+
+
+def test_core_decomposition(spark):
+    """4-clique with a pendant path: clique vertices core 3, path 1."""
+    from networkit_spark.operators.centrality import core_decomposition
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    path = [(3, 4), (4, 5)]
+    g = Graph.from_pairs(spark, clique + path, directed=False, n=6)
+    cores = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
