@@ -97,3 +97,21 @@ def test_base_clustering(spark):
     res = label_propagation(g, base_labels=base)
     labels = {r["id"]: r["label"] for r in res.labels.collect()}
     assert labels == planted
+
+
+def test_checkpoint_resume_plp(spark, tmp_path):
+    """Durable PLP snapshots resume to the same fixed point."""
+    from networkit_spark.plans.iterative import Checkpointer
+
+    edges, _ = planted_cliques(40, 4)
+    g = Graph.from_pairs(spark, edges, directed=False, n=40)
+    straight = {r["id"]: r["label"]
+                for r in label_propagation(g).labels.collect()}
+    path = str(tmp_path / "plp_ckpt")
+    ck1 = Checkpointer(spark, path, algorithm="plp")
+    partial = label_propagation(g, checkpointer=ck1, max_iterations=1)
+    assert partial.iterations == 1
+    ck2 = Checkpointer(spark, path, algorithm="plp")
+    resumed = label_propagation(g, checkpointer=ck2, resume=True)
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == straight
