@@ -145,6 +145,29 @@ def main():
     )
     extra["rmat_edges_per_sec"] = round(5 * m_rmat / times["rmat_pagerank_5iter"], 1)
 
+    # North-star ingest pipeline: synthesized pages corpus → Arrow
+    # mapInPandas link extraction → xxhash64 ids → PageRank.
+    from networkit_spark.sources.pages import generate_pages, pages_to_edges
+
+    n_pages = 20000
+    pages = generate_pages(spark, n_pages, out_links=8).persist()
+    pages.count()
+
+    def pages_pipeline():
+        pe = pages_to_edges(pages).persist()
+        m_p = pe.count()
+        gp = Graph.from_edges(pe, directed=True)
+        out = force(
+            pagerank_fixed(gp, n_iter=3, distribute_sinks=NO_SINK_HANDLING,
+                           checkpoint_every=3)
+        )
+        pe.unpersist()
+        return out
+
+    timed("pages_extract_pagerank", pages_pipeline)
+    extra["pages_per_sec"] = round(n_pages / times["pages_extract_pagerank"], 1)
+    pages.unpersist()
+
     docs = load_table(spark, sf_dir, "documents")
     timed("near_dup_lsh", lambda: force(near_duplicates(docs, threshold=0.5)))
 

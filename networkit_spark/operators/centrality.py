@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
-from networkit_spark.plans.iterative import Checkpointer
+from networkit_spark.plans.iterative import Checkpointer, truncate
 
 
 def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
@@ -80,7 +80,7 @@ def core_decomposition(graph: Graph, max_iterations: int = 10000) -> DataFrame:
     spark = graph.edges.sparkSession
     ckpt = Checkpointer(spark, None, algorithm="kcore")
     und = graph.simple_undirected_edges().persist(StorageLevel.MEMORY_AND_DISK)
-    remaining_v = graph.vertices().localCheckpoint(eager=True)
+    remaining_v = graph.vertices().transform(truncate)
     remaining_e = und
     out = None
     k = 0
@@ -103,15 +103,13 @@ def core_decomposition(graph: Graph, max_iterations: int = 10000) -> DataFrame:
         if peel.limit(1).count() == 0:
             k += 1
             continue
-        out = peel if out is None else out.unionByName(peel).localCheckpoint(eager=True)
-        remaining_v = remaining_v.join(peel.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        out = peel if out is None else out.unionByName(peel).transform(truncate)
+        remaining_v = remaining_v.join(peel.select("id"), "id", "left_anti").transform(truncate)
         remaining_e = (
             remaining_e.join(peel.select(F.col("id").alias("u")), "u", "left_anti")
             .join(peel.select(F.col("id").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(truncate)
         )
     und.unpersist()
     ckpt.close()

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
-from networkit_spark.plans.iterative import Checkpointer
+from networkit_spark.plans.iterative import Checkpointer, truncate
 
 
 def _async_sweep(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -103,7 +103,7 @@ def label_propagation_async(
     n = vertices.count()
     threshold = update_threshold if update_threshold is not None else int(n / 1e5)
 
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("label")).transform(truncate)
     iterations = 0
     n_updated = n
     history: list[dict] = []

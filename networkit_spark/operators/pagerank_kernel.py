@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import truncate
 
 
 def _scatter_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -106,7 +107,7 @@ def pagerank_arrow(
                 "id",
                 (F.col("score") + F.lit(factor) * F.col("sink_mass")).alias("score"),
             )
-        ranks = new.localCheckpoint(eager=True)
+        ranks = new.transform(truncate)
 
     vertices.unpersist()
     edges_norm.unpersist()

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
-from networkit_spark.plans.iterative import Checkpointer
+from networkit_spark.plans.iterative import Checkpointer, truncate
 
 
 def bfs_distances(graph: Graph, source: int, max_iterations: int | None = None) -> DataFrame:
@@ -45,7 +45,7 @@ def bfs_distances(graph: Graph, source: int, max_iterations: int | None = None) 
         nxt = ckpt.save(nxt, depth, None)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(truncate)
         frontier = nxt
     sym.unpersist()
     ckpt.close()
@@ -121,7 +121,7 @@ def is_bipartite(graph: Graph) -> bool:
         nxt = ckpt.save(nxt, depth, None)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(truncate)
         frontier = nxt
     pu = visited.select(F.col("id").alias("src"), F.col("parity").alias("pu"))
     pv = visited.select(F.col("id").alias("dst"), F.col("parity").alias("pv"))
@@ -167,7 +167,7 @@ def topological_sort(graph: Graph) -> DataFrame:
         remaining_v = remaining_v.join(zero_in.select("id"), "id", "left_anti")
         remaining_e = remaining_e.join(
             zero_in.select(F.col("id").alias("src")), "src", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(truncate)
         level += 1
     edges.unpersist()
     ckpt.close()

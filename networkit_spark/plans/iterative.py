@@ -38,6 +38,22 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def truncate(df: DataFrame) -> DataFrame:
+    """Lineage truncation with SANE statistics.
+
+    `localCheckpoint` alone propagates the checkpointed plan's *estimated*
+    stats; in iterative programs join estimates compound multiplicatively
+    per superstep until sizeInBytes overflows BigInteger (~25 supersteps)
+    and Catalyst planning time blows up. Persisting and materializing the
+    checkpointed relation makes it report its REAL cached size instead.
+    Use this (or Checkpointer.save) for every iterative-state
+    materialization; never bare localCheckpoint in a loop.
+    """
+    out = df.localCheckpoint(eager=True).persist()
+    out.count()
+    return out
+
+
 class Checkpointer:
     def __init__(self, spark: SparkSession, path: str | None = None,
                  algorithm: str = "", params: dict | None = None):
@@ -54,7 +70,7 @@ class Checkpointer:
         """Materialize `df` (truncating lineage) and return the re-readable
         DataFrame for the next superstep."""
         if self.path is None:
-            out = df.localCheckpoint(eager=True)
+            out = truncate(df)  # see truncate(): REAL stats, no compounding
             # Release the previous superstep's blocks once the new one exists.
             for old in self._persisted:
                 try:

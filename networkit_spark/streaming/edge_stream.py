@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import truncate
 from networkit_spark.operators.components import connected_components
 
 
@@ -79,18 +80,18 @@ class incremental_connected_components:
     def __call__(self, batch_df: DataFrame, batch_id: int):
         new_edges = batch_df.select("src", "dst").withColumn("weight", F.lit(1.0))
         if self.edges is None:
-            self.edges = new_edges.localCheckpoint(eager=True)
+            self.edges = new_edges.transform(truncate)
         else:
             self.edges = (
                 self.edges.unionByName(new_edges)
                 .dropDuplicates(["src", "dst"])
-                .localCheckpoint(eager=True)
+                .transform(truncate)
             )
         g = Graph.from_edges(self.edges, directed=False,
                              num_partitions=self.num_partitions)
         # warm start from the previous fixed point (new vertices fall back
         # to singleton labels inside connected_components)
         res = connected_components(g, initial_labels=self.labels)
-        self.labels = res.labels.localCheckpoint(eager=True)
+        self.labels = res.labels.transform(truncate)
         self.batches += 1
         self.history.append({"batch": int(batch_id), "supersteps": res.iterations})
