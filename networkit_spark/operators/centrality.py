@@ -103,13 +103,15 @@ def core_decomposition(graph: Graph, max_iterations: int = 10000) -> DataFrame:
         if peel.limit(1).count() == 0:
             k += 1
             continue
-        out = peel if out is None else out.unionByName(peel).transform(truncate)
-        remaining_v = remaining_v.join(peel.select("id"), "id", "left_anti").transform(truncate)
-        remaining_e = (
+        out = peel if out is None else truncate(out.unionByName(peel), release=out)
+        remaining_v = truncate(
+            remaining_v.join(peel.select("id"), "id", "left_anti"), release=remaining_v
+        )
+        remaining_e = truncate(
             remaining_e.join(peel.select(F.col("id").alias("u")), "u", "left_anti")
             .join(peel.select(F.col("id").alias("v")), "v", "left_anti")
-            .select("u", "v")
-            .transform(truncate)
+            .select("u", "v"),
+            release=remaining_e,
         )
     und.unpersist()
     ckpt.close()

@@ -107,7 +107,7 @@ def pagerank_arrow(
                 "id",
                 (F.col("score") + F.lit(factor) * F.col("sink_mass")).alias("score"),
             )
-        ranks = new.transform(truncate)
+        ranks = truncate(new, release=ranks if _ > 0 else None)
 
     vertices.unpersist()
     edges_norm.unpersist()

@@ -109,14 +109,16 @@ def strongly_connected_components(graph: Graph, max_rounds: int = 1000) -> SCCRe
         trivial = ckpt.save(trivial, rounds * 100000, None)
         n_trivial = trivial.count()
         if n_trivial:
-            out = trivial if out is None else truncate(out.unionByName(trivial))
+            out = trivial if out is None else truncate(out.unionByName(trivial), release=out)
             remaining_v = truncate(
-                remaining_v.join(trivial.select("id"), "id", "left_anti")
+                remaining_v.join(trivial.select("id"), "id", "left_anti"),
+                release=remaining_v,
             )
             remaining_e = truncate(
                 remaining_e.join(trivial.select(F.col("id").alias("src")), "src", "left_anti")
                 .join(trivial.select(F.col("id").alias("dst")), "dst", "left_anti")
-                .select("src", "dst")
+                .select("src", "dst"),
+                release=remaining_e,
             )
             if remaining_v.limit(1).count() == 0:
                 history.append({"round": rounds, "trivial": int(n_trivial), "scc": 0})
@@ -148,7 +150,7 @@ def strongly_connected_components(graph: Graph, max_rounds: int = 1000) -> SCCRe
             nxt = ckpt.save(nxt, rounds * 100000 + 50000, None)
             if nxt.limit(1).count() == 0:
                 break
-            member = truncate(member.unionByName(nxt))
+            member = truncate(member.unionByName(nxt), release=member)
             frontier = nxt
 
         scc = member.groupBy("root").agg(F.min("id").alias("label")).join(
@@ -158,14 +160,15 @@ def strongly_connected_components(graph: Graph, max_rounds: int = 1000) -> SCCRe
         n_scc = scc.count()
         history.append({"round": rounds, "trivial": int(n_trivial), "scc": int(n_scc)})
 
-        out = scc if out is None else truncate(out.unionByName(scc))
+        out = scc if out is None else truncate(out.unionByName(scc), release=out)
         remaining_v = truncate(
-            remaining_v.join(scc.select("id"), "id", "left_anti")
+            remaining_v.join(scc.select("id"), "id", "left_anti"), release=remaining_v
         )
         remaining_e = truncate(
             remaining_e.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
             .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
-            .select("src", "dst")
+            .select("src", "dst"),
+            release=remaining_e,
         )
     ckpt.close()
     labels = out if out is not None else graph.vertices().select(

@@ -45,7 +45,7 @@ def bfs_distances(graph: Graph, source: int, max_iterations: int | None = None) 
         nxt = ckpt.save(nxt, depth, None)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).transform(truncate)
+        visited = truncate(visited.unionByName(nxt), release=visited)
         frontier = nxt
     sym.unpersist()
     ckpt.close()
@@ -121,7 +121,7 @@ def is_bipartite(graph: Graph) -> bool:
         nxt = ckpt.save(nxt, depth, None)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).transform(truncate)
+        visited = truncate(visited.unionByName(nxt), release=visited)
         frontier = nxt
     pu = visited.select(F.col("id").alias("src"), F.col("parity").alias("pu"))
     pv = visited.select(F.col("id").alias("dst"), F.col("parity").alias("pv"))
@@ -165,9 +165,12 @@ def topological_sort(graph: Graph) -> DataFrame:
             break
         out = zero_in if out is None else out.unionByName(zero_in)
         remaining_v = remaining_v.join(zero_in.select("id"), "id", "left_anti")
-        remaining_e = remaining_e.join(
-            zero_in.select(F.col("id").alias("src")), "src", "left_anti"
-        ).transform(truncate)
+        remaining_e = truncate(
+            remaining_e.join(
+                zero_in.select(F.col("id").alias("src")), "src", "left_anti"
+            ),
+            release=remaining_e,
+        )
         level += 1
     edges.unpersist()
     ckpt.close()

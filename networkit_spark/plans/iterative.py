@@ -38,7 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
-def truncate(df: DataFrame) -> DataFrame:
+def truncate(df: DataFrame, release: DataFrame | None = None) -> DataFrame:
     """Lineage truncation with SANE statistics.
 
     `localCheckpoint` alone propagates the checkpointed plan's *estimated*
@@ -48,9 +48,18 @@ def truncate(df: DataFrame) -> DataFrame:
     checkpointed relation makes it report its REAL cached size instead.
     Use this (or Checkpointer.save) for every iterative-state
     materialization; never bare localCheckpoint in a loop.
+
+    release: a superseded state DataFrame to unpersist AFTER the new one
+    is materialized (loops must release old snapshots or cached state
+    accumulates one copy per superstep).
     """
     out = df.localCheckpoint(eager=True).persist()
     out.count()
+    if release is not None:
+        try:
+            release.unpersist()
+        except Exception:
+            pass
     return out
 
 

@@ -82,16 +82,15 @@ class incremental_connected_components:
         if self.edges is None:
             self.edges = new_edges.transform(truncate)
         else:
-            self.edges = (
-                self.edges.unionByName(new_edges)
-                .dropDuplicates(["src", "dst"])
-                .transform(truncate)
+            self.edges = truncate(
+                self.edges.unionByName(new_edges).dropDuplicates(["src", "dst"]),
+                release=self.edges,
             )
         g = Graph.from_edges(self.edges, directed=False,
                              num_partitions=self.num_partitions)
         # warm start from the previous fixed point (new vertices fall back
         # to singleton labels inside connected_components)
         res = connected_components(g, initial_labels=self.labels)
-        self.labels = res.labels.transform(truncate)
+        self.labels = truncate(res.labels, release=self.labels)
         self.batches += 1
         self.history.append({"batch": int(batch_id), "supersteps": res.iterations})
