@@ -43,6 +43,19 @@ from networkit_spark.operators.dedup import (
     simhash,
 )
 from networkit_spark.operators.similarity import brute_force_topk, lsh_topk
+from networkit_spark.operators.scc import strongly_connected_components
+from networkit_spark.operators.traversal import (
+    bfs_distances,
+    is_bipartite,
+    shortest_paths,
+    topological_sort,
+)
+from networkit_spark.operators.centrality import core_decomposition, katz_centrality
+from networkit_spark.operators.labelprop_async import label_propagation_async
+from networkit_spark.operators.triangles import (
+    extract_largest_connected_component,
+    triangle_edge_scores,
+)
 
 __all__ = [
     "Graph",
@@ -67,6 +80,16 @@ __all__ = [
     "simhash",
     "brute_force_topk",
     "lsh_topk",
+    "strongly_connected_components",
+    "bfs_distances",
+    "shortest_paths",
+    "is_bipartite",
+    "topological_sort",
+    "katz_centrality",
+    "core_decomposition",
+    "label_propagation_async",
+    "triangle_edge_scores",
+    "extract_largest_connected_component",
 ]
 
 __version__ = "0.1.0"
