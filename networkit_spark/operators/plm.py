@@ -1,0 +1,376 @@
+"""PLM — parallel Louvain method (multi-level modularity maximization).
+
+Reference: networkit/cpp/community/PLM.cpp:30-316 / PLM.hpp:38-39
+(defaults refine=False, gamma=1.0, maxIter=32, recurse=True).
+Semantics reproduced:
+
+- node volume vol(u) = weightedDegree(u) + w(u,u) — self-loop counted
+  twice (PLM.cpp:47-51); community volume = Σ vol(u) (PLM.cpp:54-58).
+- affinity(u→C) = Σ weights of edges from u to neighbors v≠u with
+  label C (self-loops excluded — `if (u != v)`, PLM.cpp:100-116).
+- modularity gain of moving u from its community C to neighbor
+  community D (PLM.cpp:135-143):
+      Δ = (aff_D − aff_C) / ω(E)
+        + γ · (vol(C∖u) − vol(D)) · vol(u) / (2·ω(E)²)
+  move iff Δ > 0; best D wins, ties toward the SMALLEST community id
+  (std::map ascending order + strict `>` keeps the first maximum,
+  PLM.cpp:147-178).
+- move phase repeats sweeps until no node moves or maxIter sweeps
+  (PLM.cpp:199-224); then coarsen by the partition
+  (ParallelPartitionCoarsening — operators/coarsening.py), recurse on
+  the coarse graph, prolong the coarse partition back (PLM.cpp:235-268,
+  305-316), and optionally run a refinement move phase (refine=True,
+  PLM.cpp:269-290).
+
+Determinism: the reference's parallel move phase applies moves
+asynchronously under OpenMP (atomics on community volumes) and is
+nondeterministic run-to-run; its own tests assert only proper-clustering
+and quality (CommunityGTest.cpp:284-305). This engine runs SYNCHRONOUS
+sweeps with a seeded hash gate: in sweep t only nodes with
+xxhash64(id, t) even may apply their best move. A fixed parity gate
+oscillates (two same-parity neighbors can keep swapping forever, each
+seeing the other's stale label); varying the gated subset per sweep
+breaks every such cycle with probability 1/2 per sweep, so moves decay
+geometrically and the run is still fully deterministic. Convergence =
+two consecutive sweeps with zero moves (bounded by max_iter).
+
+Size gating: once a (coarse) graph is below `local_threshold` arcs, the
+remaining recursion runs AS LOCAL PYTHON on the driver with the
+reference's own sequential semantics (PLM parallelism="none": in-order
+asynchronous moves, PLM.cpp:204-205). At 10^12-edge scale the fine
+level — where all the data is — runs distributed; the contracted tail
+is a few thousand supernodes where per-superstep job latency (not data)
+dominates, and a driver-local solve is the right physical plan on a
+real cluster too. Set local_threshold=0 to force the distributed path
+end-to-end (the cross-implementation equivalence tests do).
+
+Spark plan per sweep (all built-ins, no UDFs):
+    aff   = labels ⋈ sym_edges on dst → groupBy(src, label).sum(w)
+    volC  = labels ⋈ vol_node → groupBy(label).sum            [tiny]
+    best  = aff ⋈ volC(D) ⋈ volC(C) ⋈ vol_node → Δ formula →
+            window argmax (Δ desc, D asc) → filter Δ > 0 ∧ parity
+Community tables are communities-sized (≪ vertices after the first
+sweeps) — Spark broadcasts them automatically; the only edge-table-sized
+shuffle is the affinity aggregation, partitioned on src like the edge
+table itself. Coarse levels shrink geometrically, so the recursion's
+total work is dominated by the first level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.coarsening import coarsen, prolong
+from networkit_spark.plans.iterative import truncate
+
+
+@dataclass
+class PLMResult:
+    labels: DataFrame  # (id: long, label: long)
+    levels: int  # coarsening levels used (≥1)
+    sweeps: list = field(default_factory=list)  # per-level sweep/move history
+
+    def number_of_communities(self) -> int:
+        return self.labels.select("label").distinct().count()
+
+
+def _node_volumes(graph: Graph) -> DataFrame:
+    """(id, vol) with vol = weightedDegree + self-loop weight again
+    (PLM.cpp:47-51); 0 for isolated vertices."""
+    sym = graph.symmetrized_edges()
+    vols = sym.groupBy(F.col("src").alias("id")).agg(
+        (
+            F.sum("weight")
+            + F.coalesce(
+                F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight"))),
+                F.lit(0.0),
+            )
+        ).alias("vol")
+    )
+    return (
+        graph.vertices()
+        .join(vols, "id", "left")
+        .select("id", F.coalesce("vol", F.lit(0.0)).alias("vol"))
+    )
+
+
+def _move_phase(
+    graph: Graph,
+    labels: DataFrame,
+    total: float,
+    gamma: float,
+    max_iter: int,
+) -> tuple[DataFrame, bool, list[int]]:
+    """Parity-gated synchronous local-move sweeps until convergence.
+    Returns (labels, any_move_happened, moves_per_sweep)."""
+    spark = graph.edges.sparkSession
+    sym = (
+        graph.symmetrized_edges()
+        .filter(F.col("src") != F.col("dst"))  # affinity skips self-loops
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+    vol_node = _node_volumes(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    vol_node.count()
+
+    state = truncate(labels)
+    change = False
+    moves_history: list[int] = []
+    idle_sweeps = 0
+    sweep = 0
+    while sweep < max_iter and idle_sweeps < 2:
+        # affinity(u→C): weight from u to each neighboring community
+        nbr_labels = state.select(F.col("id").alias("dst"), F.col("label").alias("nc"))
+        aff = (
+            sym.join(nbr_labels, "dst")
+            .groupBy(F.col("src").alias("id"), F.col("nc"))
+            .agg(F.sum("weight").alias("aff"))
+        )
+
+        vol_comm = (
+            state.join(vol_node, "id")
+            .groupBy("label")
+            .agg(F.sum("vol").alias("vol_c"))
+        )
+
+        own = state.withColumnRenamed("label", "c")
+        aff_own = aff.join(
+            own.select("id", F.col("c").alias("nc")), ["id", "nc"]
+        ).select("id", F.col("aff").alias("aff_c"))
+
+        cand = (
+            aff.join(own, "id")
+            .filter(F.col("nc") != F.col("c"))
+            .join(aff_own, "id", "left")
+            .withColumn("aff_c", F.coalesce("aff_c", F.lit(0.0)))
+            .join(vol_node, "id")
+            .join(
+                vol_comm.select(F.col("label").alias("c"), F.col("vol_c").alias("vol_cc")),
+                "c",
+            )
+            .join(
+                vol_comm.select(F.col("label").alias("nc"), F.col("vol_c").alias("vol_d")),
+                "nc",
+            )
+            .withColumn(
+                "delta",
+                (F.col("aff") - F.col("aff_c")) / total
+                + gamma
+                * ((F.col("vol_cc") - F.col("vol")) - F.col("vol_d"))
+                * F.col("vol")
+                / (2.0 * total * total),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("nc"))
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(
+                (F.col("rn") == 1)
+                & (F.col("delta") > 0)
+                & (F.pmod(F.xxhash64("id", F.lit(sweep)), 2) == 0)
+            )
+            .select("id", F.col("nc").alias("new_label"))
+        )
+
+        merged = state.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_label", F.col("label")).alias("label"),
+            F.col("new_label").isNotNull().alias("moved"),
+        )
+        merged = truncate(merged, release=state)
+        n_moved = merged.filter("moved").count()
+        state = merged.select("id", "label")
+        moves_history.append(int(n_moved))
+        if n_moved > 0:
+            change = True
+            idle_sweeps = 0
+        else:
+            idle_sweeps += 1
+        sweep += 1
+
+    sym.unpersist()
+    vol_node.unpersist()
+    return state, change, moves_history
+
+
+# --------------------------------------------------------------- local tail
+def _local_louvain(
+    arcs: list[tuple[int, int, float]],
+    node_ids: list[int],
+    gamma: float,
+    max_iter: int,
+    refine: bool,
+) -> dict[int, int]:
+    """Reference-faithful sequential Louvain on a collected arc list
+    (PLM.cpp with parallelism="none": in-order asynchronous moves,
+    smallest-community tie-break, Δ>0 gate, coarsen+recurse+prolong).
+    `arcs` is the symmetrized table: both directions per undirected edge,
+    self-loops once."""
+    adj: dict[int, dict[int, float]] = {u: {} for u in node_ids}
+    total = 0.0
+    for u, v, w in arcs:
+        adj.setdefault(u, {})
+        adj.setdefault(v, {})
+        adj[u][v] = adj[u].get(v, 0.0) + w
+        total += w if u == v else w / 2.0
+    if total <= 0:
+        return {u: u for u in adj}
+
+    vol = {
+        u: sum(nbrs.values()) + nbrs.get(u, 0.0) for u, nbrs in adj.items()
+    }  # self-loop twice (PLM.cpp:47-51)
+    label = {u: u for u in adj}
+    vol_comm = dict(vol)
+    divisor = 2.0 * total * total
+
+    def move_phase() -> bool:
+        change = False
+        moved = True
+        it = 0
+        order = sorted(adj)
+        while moved and it <= max_iter:
+            moved = False
+            for u in order:
+                c = label[u]
+                aff: dict[int, float] = {}
+                for v, w in adj[u].items():
+                    if v != u:
+                        d = label[v]
+                        aff[d] = aff.get(d, 0.0) + w
+                aff_c = aff.get(c, 0.0)
+                vol_u = vol[u]
+                vol_c_minus = vol_comm[c] - vol_u
+                best, delta_best = None, -1.0
+                for d in sorted(aff):  # ascending = std::map order
+                    if d == c:
+                        continue
+                    delta = (aff[d] - aff_c) / total + gamma * (
+                        (vol_c_minus - vol_comm[d]) * vol_u
+                    ) / divisor
+                    if delta > delta_best:
+                        delta_best, best = delta, d
+                if best is not None and delta_best > 0:
+                    label[u] = best
+                    vol_comm[c] -= vol_u
+                    vol_comm[best] = vol_comm.get(best, 0.0) + vol_u
+                    moved = True
+                    change = True
+            it += 1
+        return change
+
+    change = move_phase()
+    if change and len(set(label.values())) < len(adj):
+        # coarsen: supernode per community (intra once + self-loops once)
+        coarse_arcs: dict[tuple[int, int], float] = {}
+        for u, nbrs in adj.items():
+            cu = label[u]
+            for v, w in nbrs.items():
+                cv = label[v]
+                if cu != cv:
+                    coarse_arcs[(cu, cv)] = coarse_arcs.get((cu, cv), 0.0) + w
+                else:
+                    coarse_arcs[(cu, cu)] = coarse_arcs.get((cu, cu), 0.0) + (
+                        w if u == v else w / 2.0
+                    )
+        coarse_ids = sorted(set(label.values()))
+        sub = _local_louvain(
+            [(u, v, w) for (u, v), w in coarse_arcs.items()],
+            coarse_ids,
+            gamma,
+            max_iter,
+            refine=False,
+        )
+        label = {u: sub[c] for u, c in label.items()}  # prolong
+        if refine:
+            vol_comm.clear()
+            for u in adj:
+                vol_comm[label[u]] = vol_comm.get(label[u], 0.0) + vol[u]
+            move_phase()
+    return label
+
+
+def plm(
+    graph: Graph,
+    refine: bool = False,
+    gamma: float = 1.0,
+    max_iter: int = 32,
+    base_labels: DataFrame | None = None,
+    local_threshold: int = 100_000,
+    _depth: int = 0,
+) -> PLMResult:
+    """Multi-level Louvain (PLM.cpp run(), defaults per PLM.hpp:38-39).
+    Labels in the result are fine-graph community ids (arbitrary longs,
+    canonical under relabeling like the reference's Partition ids)."""
+    spark = graph.edges.sparkSession
+    if local_threshold and graph.edges.count() <= local_threshold:
+        sym = graph.symmetrized_edges()
+        arcs = [(r["src"], r["dst"], r["weight"]) for r in sym.collect()]
+        node_ids = [r["id"] for r in graph.vertices().collect()]
+        if base_labels is None:
+            result = _local_louvain(arcs, node_ids, gamma, max_iter, refine)
+        else:
+            # base clustering: contract by it first, solve, prolong
+            base = {r["id"]: r["label"] for r in base_labels.collect()}
+            coarse_arcs: dict[tuple[int, int], float] = {}
+            for u, v, w in arcs:
+                cu, cv = base[u], base[v]
+                if cu != cv:
+                    coarse_arcs[(cu, cv)] = coarse_arcs.get((cu, cv), 0.0) + w
+                else:
+                    coarse_arcs[(cu, cu)] = coarse_arcs.get((cu, cu), 0.0) + (
+                        w if u == v else w / 2.0
+                    )
+            sub = _local_louvain(
+                [(u, v, w) for (u, v), w in coarse_arcs.items()],
+                sorted(set(base.values())),
+                gamma,
+                max_iter,
+                refine,
+            )
+            result = {u: sub[c] for u, c in base.items()}
+        labels_df = spark.createDataFrame(
+            [(int(u), int(l)) for u, l in sorted(result.items())],
+            "id long, label long",
+        )
+        return PLMResult(labels=labels_df, levels=1, sweeps=[["local"]])
+
+    total = graph.total_edge_weight()
+    if total <= 0:
+        # Edgeless graph: singletons (no move can ever have positive gain).
+        return PLMResult(
+            labels=graph.vertices().select("id", F.col("id").alias("label")),
+            levels=1,
+            sweeps=[[]],
+        )
+
+    if base_labels is not None:
+        init = base_labels.select("id", "label")
+    else:
+        init = graph.vertices().select("id", F.col("id").alias("label"))
+
+    labels, change, moves = _move_phase(graph, init, total, gamma, max_iter)
+    sweeps = [moves]
+    levels = 1
+
+    n_communities = labels.select("label").distinct().count()
+    contracted = n_communities < graph.num_vertices()
+    if change and contracted and _depth < 32:
+        coarse_graph, mapping = coarsen(graph, labels)
+        mapping = truncate(mapping)
+        sub = plm(coarse_graph, refine=False, gamma=gamma, max_iter=max_iter,
+                  local_threshold=local_threshold, _depth=_depth + 1)
+        levels += sub.levels
+        sweeps.extend(sub.sweeps)
+        labels = prolong(sub.labels, mapping)
+        if refine:
+            labels, _, refine_moves = _move_phase(
+                graph, labels, total, gamma, max_iter
+            )
+            sweeps.append(refine_moves)
+        labels = truncate(labels, release=mapping)
+
+    return PLMResult(labels=labels.select("id", "label"), levels=levels, sweeps=sweeps)
