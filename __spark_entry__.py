@@ -71,6 +71,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top5": o.ann_topk_sql(),
         "embedding_near_dups": o.embedding_near_dup_sql(threshold=0.4),
         "events_hourly": o.events_hourly_sql(),
+        "bfs_hops": o.bfs_hops_sql(),
+        "closeness": o.closeness_sql(),
+        "harmonic_closeness": o.harmonic_sql(),
+        "eccentricity": o.eccentricity_sql(),
+        "effective_diameter_90": o.effective_diameter_sql(),
+        "coarsen_cc": o.coarsen_cc_sql(),
+        "betweenness_est20": o.estimate_betweenness_sql(),
+        "degree_assortativity": o.degree_assortativity_sql(),
+        "nominal_assortativity_mod7": o.nominal_assortativity_sql(),
+        # plm_labels: multi-level greedy Louvain is not expressible as
+        # fixed ANSI SQL — rows-only; pytest holds it to planted-cluster
+        # recovery, modularity invariants and the karate golden range.
         # pagerank_converged / eigenvector_top20: iteration count is
         # data-dependent (tol-driven) — intentionally no SQL twin; the
         # driver records the weaker rows-only check and pytest holds the

@@ -1,0 +1,198 @@
+"""Betweenness centrality: exact Brandes and the sampling estimator.
+
+Reference:
+- Betweenness.cpp:23-101 (Brandes): per source s, forward SSSP counting
+  shortest paths σ, then reverse-BFS-order dependency accumulation
+  δ[p] += (σp/σt)·(1+δt) over predecessor arcs; score[t] += δ[t] for
+  t ≠ s; normalized divides by (n−1)(n−2) (:86-91).
+- EstimateBetweenness.cpp:26-115: same per-source dependency pass for a
+  RANDOM SAMPLE of nSamples+1 sources (the `i <= nSamples` loop,
+  :33-35), with the Geisberger linear-scaling weighting factor
+  (dist(p)/dist(t)) on each contribution (:70-80); scores extrapolate
+  by 2n/nSamples (:102-104) and normalized divides by (n−2)(n−1)
+  (:100,106-108).
+
+Spark shape: ONE state DataFrame keyed by (s, id) runs every source's
+pass simultaneously.
+- Forward: level-synchronous BFS where the new level's σ is the sum of
+  frontier σ over arcs (groupBy(s, dst).sum — the path-count recurrence
+  σt = Σ_{p∈pred(t)} σp falls out of the join+agg).
+- Backward: levels descend from the BFS depth; the shortest-path DAG
+  only has arcs between consecutive hop levels, so each level is one
+  join (t-rows ⋈ arcs ⋈ (L−1)-rows) + one aggregation, and a node's δ
+  is final the moment its level is processed — its score contribution
+  is banked right there.
+Work is O(Σ_s m) like the reference's loop; at web scale callers sample
+sources (estimate_betweenness) — the batched pass makes sample size a
+rows-per-shuffle knob, not a job-count knob.
+
+Hop-count distances only (unweighted BFS — the reference switches to
+Dijkstra on weighted graphs; weighted betweenness is out of scope here
+and raises)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import truncate
+
+
+def _forward_sssp(graph: Graph, sources: DataFrame):
+    """Batched BFS with path counts: (s, id, dist, sigma) for every
+    reachable pair; sigma = number of shortest s→id paths."""
+    sym = graph.symmetrized_edges().select("src", "dst")
+    if graph.directed:
+        sym = graph.edges.select("src", "dst")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    visited = truncate(
+        sources.select(F.col("s").cast("long").alias("s"))
+        .distinct()
+        .select(
+            "s",
+            F.col("s").alias("id"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    frontier = visited
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            frontier.join(sym, frontier.id == sym.src)
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("s", "id"), ["s", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .select("s", "id", "dist", "sigma")
+        )
+        nxt = truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = truncate(visited.unionByName(nxt), release=visited)
+        frontier = nxt
+    return visited, sym
+
+
+def _dependency_scores(
+    graph: Graph,
+    sources: DataFrame,
+    distance_weighted: bool,
+) -> DataFrame:
+    """Σ_s δ_s(t) per node t — the common core of exact and estimated
+    betweenness. distance_weighted adds the (dist(p)/dist(t)) factor
+    (EstimateBetweenness.cpp:78-80)."""
+    spark = graph.edges.sparkSession
+    visited, sym = _forward_sssp(graph, sources)
+    visited = visited.persist(StorageLevel.MEMORY_AND_DISK)
+    max_l = visited.agg(F.max("dist")).first()[0] or 0
+
+    delta_next: DataFrame | None = None  # (s, id, delta) for current level
+    score_pieces: list[DataFrame] = []
+    for level in range(int(max_l), 0, -1):
+        t_rows = visited.filter(F.col("dist") == level).select(
+            "s", "id", "sigma"
+        )
+        if delta_next is not None:
+            t_rows = t_rows.join(delta_next, ["s", "id"], "left").select(
+                "s", "id", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            t_rows = t_rows.withColumn("delta", F.lit(0.0))
+        t_rows = truncate(t_rows)
+
+        # deltas at this level are final → bank the score contribution
+        score_pieces.append(
+            t_rows.groupBy("id").agg(F.sum("delta").alias("score"))
+        )
+
+        # contributions to predecessors p (dist = level−1, arc p→t)
+        factor = (level - 1) / float(level) if distance_weighted else 1.0
+        preds = visited.filter(F.col("dist") == level - 1).select(
+            "s", F.col("id").alias("p"), F.col("sigma").alias("sigma_p")
+        )
+        contrib = (
+            t_rows.join(sym, t_rows.id == sym.dst)
+            .select("s", F.col("src").alias("p"), "sigma", "delta")
+            .join(preds, ["s", "p"])
+            .groupBy("s", F.col("p").alias("id"))
+            .agg(
+                F.sum(
+                    F.lit(factor)
+                    * (F.col("sigma_p") / F.col("sigma"))
+                    * (1.0 + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        delta_next = truncate(contrib)
+
+    visited.unpersist()
+    sym.unpersist()
+    if not score_pieces:
+        return graph.vertices().select("id", F.lit(0.0).alias("score"))
+    all_pieces = score_pieces[0]
+    for p in score_pieces[1:]:
+        all_pieces = all_pieces.unionByName(p)
+    summed = all_pieces.groupBy("id").agg(F.sum("score").alias("score"))
+    return (
+        graph.vertices()
+        .join(summed, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def betweenness_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """Exact Brandes over all sources (Betweenness.cpp:23-101).
+    O(n·m) like the reference — the test/oracle path; sample at scale
+    with estimate_betweenness."""
+    if graph.weighted:
+        raise ValueError("weighted betweenness (Dijkstra) not supported; "
+                         "use an unweighted graph")
+    scores = _dependency_scores(graph, _all_sources(graph), distance_weighted=False)
+    if normalized:
+        n = graph.num_vertices()
+        pairs = float((n - 1) * (n - 2))
+        scores = scores.select("id", (F.col("score") / pairs).alias("score"))
+    return scores
+
+
+def estimate_betweenness(
+    graph: Graph,
+    n_samples: int,
+    normalized: bool = False,
+    seed: int = 42,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """EstimateBetweenness.cpp:26-115: sampled sources with the
+    linear-scaling (dist(p)/dist(t)) dependency weighting, extrapolated
+    by 2n/nSamples. The reference draws nSamples+1 random sources with
+    replacement (:33-35); we take the nSamples+1 smallest by
+    xxhash64(id, seed) — deterministic, same count, same estimator
+    shape. `sources` overrides sampling (tests feed the oracle the
+    identical set)."""
+    if graph.weighted:
+        raise ValueError("weighted betweenness (Dijkstra) not supported; "
+                         "use an unweighted graph")
+    n = graph.num_vertices()
+    if sources is None:
+        sources = (
+            graph.vertices()
+            .orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+            .limit(n_samples + 1)
+            .select(F.col("id").alias("s"))
+        )
+    scores = _dependency_scores(graph, sources, distance_weighted=True)
+    scale = 2.0 * n / float(n_samples)
+    scores = scores.select("id", (F.col("score") * scale).alias("score"))
+    if normalized:
+        pairs = float((n - 2) * (n - 1))
+        scores = scores.select("id", (F.col("score") / pairs).alias("score"))
+    return scores
+
+
+def _all_sources(graph: Graph) -> DataFrame:
+    return graph.vertices().select(F.col("id").alias("s"))

@@ -1,0 +1,337 @@
+"""Distance-module algorithms: batched multi-source BFS and everything
+built on it (closeness, harmonic closeness, eccentricity/diameter,
+exact + ANF-approximated effective diameter, neighborhood function).
+
+Reference surface (networkit/cpp/distance/, cpp/centrality/):
+- Closeness.cpp:49-115 + Closeness.hpp:84-100 (updateScoreData):
+  standard variant score = 1/Σd (connected graphs only — ctor throws
+  otherwise, Closeness.cpp:20-47), generalized (Wasserman–Faust)
+  = (r−1)/Σd/(n−1) with r = #reached; normalized multiplies by (n−1)
+  resp. (r−1); score 0 when Σd = 0.
+- HarmonicCloseness.cpp:19-49: score = Σ_{u≠v, d finite} 1/d(v,u);
+  normalized divides by (n−1).
+- EffectiveDiameter.cpp:28-92 (exact): per node v, h_v = smallest h ≥ 1
+  with |{u : d(v,u) ≤ h}| ≥ ceil(ratio·n); result = (Σ_v h_v)/n.
+  Undirected + connected only (ctor throws, :17-26).
+- EffectiveDiameterApproximation.cpp:24-127 (ANF, Palmer et al.): k
+  Flajolet–Martin bitmasks of ceil(log2 n)+r bits per node, bit i set
+  with P=0.5^(i+1); per round every active node ORs its neighbors'
+  previous masks; estimated reach = 2^b / 0.77351 with b = mean least
+  unset bit; a node finishes when the estimate reaches ceil(ratio·n)
+  or its masks equal the global maximum; h_v = finishing round.
+- Diameter: exact eccentricity sweep for tests (the reference's iFUB
+  needs a sequential bound-refinement loop); double-sweep lower bound
+  as the scale path (Diameter.cpp estimatedRange uses the same idea).
+
+Spark shape: ONE frontier DataFrame keyed by (s, id) runs ALL sources'
+BFS simultaneously — each superstep is a single join + aggregation over
+the arc table, so b sources cost the same number of supersteps as one
+(diameter many), with b× the rows per shuffle. Exact variants enumerate
+every source (O(n·m) work, same as the reference's loop-over-sources);
+at web scale callers pass a sampled source set — closeness/harmonic
+accept any `sources` DataFrame. The ANF state is k long-typed mask
+COLUMNS aggregated with bit_or (JVM-side, whole-stage codegen); masks
+never leave the executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import truncate
+
+
+# --------------------------------------------------------- multi-source BFS
+def multi_source_bfs(
+    graph: Graph,
+    sources: DataFrame,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """(s, id, dist) hop distances from every source in `sources(s)` to
+    every reachable vertex. Unreached pairs are absent (reference SSSP
+    marks them infinity). One superstep per BFS level for ALL sources."""
+    sym = graph.symmetrized_edges().select("src", "dst")
+    if graph.directed:
+        sym = graph.edges.select("src", "dst")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    visited = truncate(
+        sources.select(F.col("s").cast("long").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("id"), F.lit(0).cast("long").alias("dist"))
+    )
+    frontier = visited
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select("s", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("s", "id"), ["s", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+        )
+        nxt = truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = truncate(visited.unionByName(nxt), release=visited)
+        frontier = nxt
+    sym.unpersist()
+    return visited
+
+
+def _all_sources(graph: Graph) -> DataFrame:
+    return graph.vertices().select(F.col("id").alias("s"))
+
+
+# ----------------------------------------------------------------- closeness
+STANDARD = "standard"
+GENERALIZED = "generalized"
+
+
+def closeness_centrality(
+    graph: Graph,
+    normalized: bool = False,
+    variant: str = STANDARD,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, score) per Closeness.hpp:84-100 (see module docstring).
+    `sources` restricts which vertices get scores (sampling at scale);
+    default = all vertices (the reference's exact loop)."""
+    if variant == STANDARD:
+        from networkit_spark.operators.components import connected_components
+
+        n_comp = (
+            connected_components(graph).labels.select("label").distinct().count()
+        )
+        if n_comp > 1:
+            raise ValueError(
+                "standard closeness is undefined on disconnected graphs; "
+                "use variant='generalized' (Closeness.cpp:41-47)"
+            )
+    n = graph.num_vertices()
+    src = sources if sources is not None else _all_sources(graph)
+    dists = multi_source_bfs(graph, src)
+    per_source = dists.groupBy(F.col("s").alias("id")).agg(
+        F.sum("dist").cast("double").alias("sum_d"),
+        F.count("*").cast("long").alias("reached"),  # includes self (dist 0)
+    )
+    if variant == STANDARD:
+        score = F.when(F.col("sum_d") > 0, 1.0 / F.col("sum_d")).otherwise(0.0)
+        if normalized:
+            score = score * float(n - 1)
+    else:
+        score = F.when(
+            F.col("sum_d") > 0,
+            (F.col("reached") - 1) / F.col("sum_d") / float(n - 1),
+        ).otherwise(0.0)
+        if normalized:
+            score = score * (
+                F.when(F.col("sum_d") > 0, F.col("reached") - 1).otherwise(0.0)
+            )
+    return per_source.select("id", score.alias("score"))
+
+
+def harmonic_closeness(
+    graph: Graph,
+    normalized: bool = False,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, score) = Σ 1/d to every other reachable vertex
+    (HarmonicCloseness.cpp:19-49); normalized ÷ (n−1)."""
+    n = graph.num_vertices()
+    src = sources if sources is not None else _all_sources(graph)
+    dists = multi_source_bfs(graph, src)
+    score = F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(0.0))
+    if normalized:
+        score = score / float(n - 1)
+    return dists.groupBy(F.col("s").alias("id")).agg(score.alias("score"))
+
+
+# ------------------------------------------------------------------ diameter
+def eccentricities(graph: Graph, sources: DataFrame | None = None) -> DataFrame:
+    """(id, ecc) = max hop distance to any reachable vertex."""
+    src = sources if sources is not None else _all_sources(graph)
+    dists = multi_source_bfs(graph, src)
+    return dists.groupBy(F.col("s").alias("id")).agg(F.max("dist").alias("ecc"))
+
+
+def diameter_exact(graph: Graph) -> int:
+    """max eccentricity over all vertices (all-sources BFS — the test
+    oracle; web-scale callers use diameter_double_sweep)."""
+    row = eccentricities(graph).agg(F.max("ecc")).first()
+    return int(row[0]) if row[0] is not None else 0
+
+
+def diameter_double_sweep(graph: Graph) -> int:
+    """Lower bound by double sweep: BFS from the smallest-id vertex, then
+    from the farthest vertex found (the reference's estimatedRange lower
+    bound, cpp/distance/Diameter.cpp). Two BFS instead of n."""
+    first = graph.vertices().agg(F.min("id")).first()[0]
+    if first is None:
+        return 0
+    spark = graph.edges.sparkSession
+    d1 = multi_source_bfs(graph, spark.createDataFrame([(int(first),)], "s long"))
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).first()
+    d2 = multi_source_bfs(graph, spark.createDataFrame([(int(far["id"]),)], "s long"))
+    return int(d2.agg(F.max("dist")).first()[0])
+
+
+# --------------------------------------------------------- effective diameter
+def _require_connected_undirected(graph: Graph, what: str):
+    from networkit_spark.operators.components import connected_components
+
+    if graph.directed:
+        raise ValueError(f"{what} supports undirected graphs only")
+    n_comp = connected_components(graph).labels.select("label").distinct().count()
+    if n_comp > 1:
+        raise ValueError(f"{what} requires a connected graph")
+
+
+def effective_diameter_exact(graph: Graph, ratio: float = 0.9) -> float:
+    """EffectiveDiameter.cpp:28-92: mean over vertices of the smallest
+    h ≥ 1 whose h-neighborhood holds ≥ ceil(ratio·n) vertices.
+
+    Identity used: with dists(s, id, dist) from all-pairs BFS, h_s =
+    max(1, the ceil(ratio·n)-th smallest distance from s) — the h at
+    which the running reach count first crosses the threshold."""
+    _require_connected_undirected(graph, "effective_diameter_exact")
+    n = graph.num_vertices()
+    threshold = int(math.ceil(ratio * n))
+    dists = multi_source_bfs(graph, _all_sources(graph))
+    w = Window.partitionBy("s").orderBy(F.asc("dist"))
+    h_per_node = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == threshold)
+        .select("s", F.greatest(F.col("dist"), F.lit(1)).alias("h"))
+    )
+    return float(h_per_node.agg(F.avg("h")).first()[0])
+
+
+def neighborhood_function(graph: Graph) -> DataFrame:
+    """(dist, n_pairs): number of ordered vertex pairs within distance
+    ≤ dist, for every distance realized (NeighborhoodFunction.cpp —
+    exact variant; pairs exclude dist 0)."""
+    _require_connected_undirected(graph, "neighborhood_function")
+    dists = multi_source_bfs(graph, _all_sources(graph))
+    per_d = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    return per_d.select(
+        "dist", F.sum("cnt").over(w).cast("long").alias("n_pairs")
+    )
+
+
+def effective_diameter_approx(
+    graph: Graph,
+    ratio: float = 0.9,
+    k: int = 64,
+    r: int = 7,
+    seed: int = 42,
+) -> float:
+    """ANF approximation (EffectiveDiameterApproximation.cpp:24-127).
+
+    Deterministic seeded init: the geometric bit position for (node, j)
+    is the trailing-zero count of xxhash64(id, j, seed) — trailing
+    zeros of a uniform word are exactly Geometric(1/2), the reference's
+    ceil(log(rand)/log(0.5) − 1) distribution. Masks are k LONG COLUMNS;
+    the neighborhood OR is groupBy(dst).agg(bit_or(m_j)) — all JVM-side.
+    least-unset-bit(m) = bit_count(m XOR (m+1)) − 1 (flips the trailing
+    ones run plus the first zero)."""
+    _require_connected_undirected(graph, "effective_diameter_approx")
+    n = graph.num_vertices()
+    threshold = int(math.ceil(ratio * n))
+    n_bits = int(math.ceil(math.log2(max(n, 2)))) + r
+
+    sym = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
+
+    mask_cols = [f"m{j}" for j in range(k)]
+
+    def init_mask(j: int):
+        h = F.xxhash64("id", F.lit(j), F.lit(seed))
+        # trailing zeros: bit_count(~h & (h-1)); h==0 impossible-ish but
+        # guard to position 0
+        pos = F.bit_count(F.bitwise_not(h).bitwiseAND(h - 1))
+        # shiftleft() takes only a literal shift; 2^pos is exact in a
+        # double for pos < 52 and n_bits ≤ log2(n)+r ≪ 52
+        return F.when(pos < n_bits, F.pow(F.lit(2.0), pos).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    state = graph.vertices().select(
+        "id", *[init_mask(j).alias(c) for j, c in enumerate(mask_cols)]
+    )
+    state = (
+        state.withColumn("active", F.lit(True))
+        .withColumn("done_h", F.lit(0).cast("long"))
+    )
+    state = truncate(state)
+
+    # global maximum attainable mask per approximation j
+    highest = state.agg(
+        *[F.bit_or(c).alias(c) for c in mask_cols]
+    ).first()
+
+    h = 0
+    while True:
+        h += 1
+        active_nodes = state.filter("active")
+        if active_nodes.limit(1).count() == 0:
+            break
+        # gather: OR of neighbors' previous masks (only needed for active
+        # dst nodes — semi-join pushes the filter below the aggregation)
+        msgs = (
+            sym.join(state.select(F.col("id").alias("src"), *mask_cols), "src")
+            .join(
+                active_nodes.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(c).alias(f"g_{c}") for c in mask_cols])
+        )
+        merged = state.join(msgs, "id", "left")
+        new_masks = [
+            F.when(
+                F.col("active"),
+                F.col(c).bitwiseOR(F.coalesce(F.col(f"g_{c}"), F.lit(0))),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in mask_cols
+        ]
+        merged = merged.select("id", "active", "done_h", *new_masks)
+
+        # b = mean least-unset-bit across the k masks
+        b = sum(
+            (F.bit_count(F.col(c).bitwiseXOR(F.col(c) + 1)) - 1) for c in mask_cols
+        ) / float(k)
+        est = F.pow(F.lit(2.0), b) / 0.77351
+        saturated = None
+        for c in mask_cols:
+            cond = F.col(c) == F.lit(int(highest[c])).cast("long")
+            saturated = cond if saturated is None else (saturated & cond)
+        finishes = F.col("active") & ((est >= threshold) | saturated)
+        state = truncate(
+            merged.select(
+                "id",
+                *mask_cols,
+                (F.col("active") & ~finishes).alias("active"),
+                F.when(finishes, F.lit(h).cast("long"))
+                .otherwise(F.col("done_h"))
+                .alias("done_h"),
+            ),
+            release=state,
+        )
+
+    sym.unpersist()
+    return float(state.agg(F.avg("done_h")).first()[0])

@@ -14,7 +14,7 @@ from __future__ import annotations
 from networkit_spark.operators.dedup import LSH_ROWS_PER_BAND, MINHASH_SEEDS
 from networkit_spark.operators.similarity import hyperplane_weights
 from networkit_spark.functions.text import LANG_MARKERS, STOPWORDS
-from networkit_spark.sources.tables import EDGES_CTE
+from networkit_spark.sources.tables import EDGES_CTE, GRAPH_MODULUS as _M
 
 PR_ITERS = 5
 CC_ITERS = 8
@@ -527,4 +527,249 @@ SELECT date_trunc('hour', ts) AS hour_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ distance SQL
+BFS_MAX_DEPTH = 12  # ≥ the derived graph's diameter at every test SF
+
+
+def _dists_cte(max_depth: int = BFS_MAX_DEPTH) -> str:
+    """All-pairs hop distances over sym: bounded recursive walk CTE,
+    dist = MIN over walk lengths (UNION dedups (s,id,dist) rows, the
+    depth bound stops cycle walks). Exact twin of multi_source_bfs for
+    any graph with diameter ≤ max_depth."""
+    return f"""walk(s, id, dist) AS (
+  SELECT id AS s, id AS id, 0 AS dist FROM v
+  UNION
+  SELECT w.s, e.dst, w.dist + 1 FROM walk w JOIN sym e ON w.id = e.src
+  WHERE w.dist < {max_depth}
+),
+dists AS (SELECT s, id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY s, id)"""
+
+
+def bfs_hops_sql() -> str:
+    """Single-source BFS from the smallest vertex id."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()}
+SELECT id, dist FROM dists WHERE s = (SELECT MIN(id) FROM v)
+"""
+
+
+def closeness_sql() -> str:
+    """Standard closeness 1/Σd (Closeness.hpp:84-100; derived graph is
+    connected at every test SF — verified before registering)."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()}
+SELECT s AS id, ROUND(1.0 / SUM(dist), 9) AS score FROM dists GROUP BY s
+"""
+
+
+def harmonic_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()}
+SELECT s AS id,
+       ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) AS score
+FROM dists GROUP BY s
+"""
+
+
+def eccentricity_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()}
+SELECT s AS id, CAST(MAX(dist) AS BIGINT) AS ecc FROM dists GROUP BY s
+"""
+
+
+def effective_diameter_sql(ratio: float = 0.9) -> str:
+    """EffectiveDiameter.cpp:28-92: h_s = max(1, threshold-th smallest
+    distance from s); result = mean h_s."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()},
+th AS (SELECT CAST(CEIL({ratio} * COUNT(*)) AS BIGINT) AS t FROM v),
+ranked AS (SELECT s, dist, ROW_NUMBER() OVER (PARTITION BY s ORDER BY dist) AS rk
+           FROM dists),
+h AS (SELECT s, GREATEST(dist, 1) AS h FROM ranked WHERE rk = (SELECT t FROM th))
+SELECT ROUND(AVG(h), 6) AS effective_diameter FROM h
+"""
+
+
+# ---------------------------------------------------------- coarsening SQL
+def coarsen_cc_sql(iters: int = CC_ITERS) -> str:
+    """Coarse graph contracted by the hash-min CC labels: coarse ids are
+    dense ranks of labels ascending; inter-part weights keep both arc
+    directions, the intra self-loop counts each fine edge once
+    (ParallelPartitionCoarsening.cpp:43 `sv != su || u >= v`)."""
+    cc = cc_sql(iters).strip()
+    return f"""
+WITH labels AS ({cc}),
+dict AS (SELECT label, ROW_NUMBER() OVER (ORDER BY label) - 1 AS coarse_id
+         FROM (SELECT DISTINCT label FROM labels)),
+mapping AS (SELECT l.id, d.coarse_id FROM labels l JOIN dict d ON d.label = l.label),
+ed AS (
+  SELECT DISTINCT least(l_orderkey % {_M}, l_partkey % {_M}) AS u,
+                  greatest(l_orderkey % {_M}, l_partkey % {_M}) AS v
+  FROM lineitem
+  WHERE (l_orderkey % {_M}) <> (l_partkey % {_M})
+),
+arcs AS (
+  SELECT u AS src, v AS dst, 1.0 AS weight FROM ed
+  UNION ALL
+  SELECT v AS src, u AS dst, 1.0 AS weight FROM ed
+),
+labeled AS (
+  SELECT mu.coarse_id AS cu, mv.coarse_id AS cv, a.weight, a.src, a.dst
+  FROM arcs a
+  JOIN mapping mu ON mu.id = a.src
+  JOIN mapping mv ON mv.id = a.dst
+)
+SELECT cu AS src, cv AS dst, SUM(weight) AS weight
+FROM labeled WHERE cu <> cv GROUP BY cu, cv
+UNION ALL
+SELECT cu AS src, cu AS dst,
+       SUM(CASE WHEN src = dst THEN weight ELSE weight / 2.0 END) AS weight
+FROM labeled WHERE cu = cv GROUP BY cu
+"""
+
+
+# --------------------------------------------------------- betweenness SQL
+def _materialize(sql: str) -> str:
+    """Force CTE materialization: the unrolled σ/δ chains reference each
+    level several times; inlined they re-evaluate the whole prefix
+    (minutes), materialized the query runs in seconds."""
+    import re
+
+    return re.sub(r"AS \(", "AS MATERIALIZED (", sql)
+
+
+def _betweenness_body(levels: int, sources_where: str, weighted: bool) -> str:
+    """Unrolled Brandes over `dists`: forward σ per BFS level, backward δ
+    per level (shortest-path DAG arcs only connect consecutive hop
+    levels), exactly the plan operators/betweenness.py runs."""
+    parts = [
+        f"src AS (SELECT id FROM v {sources_where})",
+        "sd AS (SELECT d.* FROM dists d JOIN src ON src.id = d.s)",
+        "sig0 AS (SELECT s, id, 1.0 AS sigma FROM sd WHERE dist = 0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"""sig{k} AS (
+  SELECT d.s, d.id, SUM(p.sigma) AS sigma
+  FROM sd d JOIN sym e ON e.dst = d.id
+  JOIN sig{k - 1} p ON p.s = d.s AND p.id = e.src
+  WHERE d.dist = {k} GROUP BY d.s, d.id)"""
+        )
+    # backward: delta at the deepest level is 0; each shallower level
+    # aggregates (σp/σt)·(1+δt) [· (dist_p/dist_t) for the estimator]
+    # over the DAG arcs p→t — inner joins through sym, then a LEFT JOIN
+    # of the aggregated contributions (DuckDB cannot outer-join on a
+    # correlated subquery)
+    parts.append(
+        f"d{levels} AS (SELECT s, id, 0.0 AS delta FROM sd WHERE dist = {levels})"
+    )
+    for k in range(levels - 1, 0, -1):
+        factor = f"(CAST({k} AS DOUBLE) / {k + 1}) * " if weighted else ""
+        parts.append(
+            f"""c{k} AS (
+  SELECT p.s, p.id, SUM({factor}(p.sigma / ts.sigma) * (1.0 + td.delta)) AS delta
+  FROM sig{k} p
+  JOIN sym e ON e.src = p.id
+  JOIN d{k + 1} td ON td.s = p.s AND td.id = e.dst
+  JOIN sig{k + 1} ts ON ts.s = td.s AND ts.id = td.id
+  GROUP BY p.s, p.id)"""
+        )
+        parts.append(
+            f"""d{k} AS (
+  SELECT p.s, p.id, COALESCE(c.delta, 0.0) AS delta
+  FROM sig{k} p LEFT JOIN c{k} c ON c.s = p.s AND c.id = p.id)"""
+        )
+    deltas = "\nUNION ALL\n".join(
+        f"SELECT s, id, delta FROM d{k}" for k in range(1, levels + 1)
+    )
+    parts.append(f"alldelta AS ({deltas})")
+    return ",\n".join(parts)
+
+
+def betweenness_sql(levels: int = BFS_MAX_DEPTH, normalized: bool = False) -> str:
+    """Exact Brandes (Betweenness.cpp:23-101): score(t) = Σ_s δ_s(t)."""
+    body = _betweenness_body(levels, "", weighted=False)
+    norm = "/ ((SELECT COUNT(*) FROM v) - 1.0) / ((SELECT COUNT(*) FROM v) - 2.0)" if normalized else ""
+    return _materialize(f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()},
+{body}
+SELECT v.id, ROUND(COALESCE(sc.score, 0.0){norm}, 6) AS score
+FROM v LEFT JOIN (SELECT id, SUM(delta) AS score FROM alldelta GROUP BY id) sc
+  ON sc.id = v.id
+""")
+
+
+def estimate_betweenness_sql(
+    max_source_id: int = 20, n_samples: int = 19, levels: int = BFS_MAX_DEPTH
+) -> str:
+    """EstimateBetweenness.cpp:60-115 with an explicit deterministic
+    source set (id < max_source_id picks n_samples+1 sources on the
+    derived graph): linear-scaling (dist_p/dist_t) factor, extrapolation
+    ×(2n/nSamples)."""
+    body = _betweenness_body(
+        levels, f"WHERE id < {max_source_id}", weighted=True
+    )
+    return _materialize(f"""
+WITH RECURSIVE {EDGES_CTE},
+{_dists_cte()},
+{body}
+SELECT v.id,
+       ROUND(COALESCE(sc.score, 0.0) * 2.0 * (SELECT COUNT(*) FROM v) / {n_samples}.0, 6) AS score
+FROM v LEFT JOIN (SELECT id, SUM(delta) AS score FROM alldelta GROUP BY id) sc
+  ON sc.id = v.id
+""")
+
+
+# --------------------------------------------------------- correlation SQL
+def degree_assortativity_sql() -> str:
+    """Pearson r over (deg_u, deg_v) pairs of the canonical und edges
+    (Assortativity.cpp:72-100 continuous variant)."""
+    return f"""
+WITH {EDGES_CTE},
+deg AS (SELECT id, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY id),
+el AS (SELECT du.d AS x, dv.d AS y FROM und e
+       JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+mm AS (SELECT AVG(x) AS xm, AVG(y) AS ym FROM el)
+SELECT ROUND(
+    SUM((x - (SELECT xm FROM mm)) * (y - (SELECT ym FROM mm)))
+    / SQRT(SUM(POW(x - (SELECT xm FROM mm), 2))
+           * SUM(POW(y - (SELECT ym FROM mm), 2))), 6) AS r
+FROM el
+"""
+
+
+def nominal_assortativity_sql(modulus: int = 7) -> str:
+    """Mixing-matrix assortativity with labels id % modulus, reproducing
+    the reference's normalization (mirrored inter-type counts over m —
+    Assortativity.cpp:44-57)."""
+    return f"""
+WITH {EDGES_CTE},
+el AS (SELECT (e.u % {modulus}) AS lu, (e.v % {modulus}) AS lv FROM und e),
+mcount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM el),
+cells AS (
+  SELECT lu, lv, SUM(cnt) AS cnt FROM (
+    SELECT lu, lv, CAST(COUNT(*) AS DOUBLE) AS cnt FROM el GROUP BY lu, lv
+    UNION ALL
+    SELECT lv AS lu, lu AS lv, CAST(COUNT(*) AS DOUBLE) AS cnt FROM el
+    WHERE lu <> lv GROUP BY lu, lv
+  ) GROUP BY lu, lv),
+e AS (SELECT lu, lv, cnt / (SELECT m FROM mcount) AS e FROM cells),
+diag AS (SELECT COALESCE(SUM(e), 0.0) AS d FROM e WHERE lu = lv),
+a AS (SELECT lu, SUM(e) AS a FROM e GROUP BY lu),
+b AS (SELECT lv, SUM(e) AS b FROM e GROUP BY lv),
+ab AS (SELECT COALESCE(SUM(a.a * b.b), 0.0) AS ab FROM a JOIN b ON a.lu = b.lv)
+SELECT ROUND(((SELECT d FROM diag) - (SELECT ab FROM ab))
+             / (1.0 - (SELECT ab FROM ab)), 6) AS r
 """

@@ -374,3 +374,147 @@ QUERIES = {
     "pagerank_converged": q_pagerank_converged,
     "eigenvector_top20": q_eigenvector_top20,
 }
+
+
+# ------------------------------------------------------- distances / PLM
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distances import multi_source_bfs
+
+    g = _undirected_graph(spark, sf_dir)
+    first = g.vertices().agg(F.min("id")).first()[0]
+    src = spark.createDataFrame([(int(first),)], "s long")
+    return multi_source_bfs(g, src).select("id", "dist")
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distances import closeness_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    return closeness_centrality(g).select("id", F.round("score", 9).alias("score"))
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distances import harmonic_closeness
+
+    g = _undirected_graph(spark, sf_dir)
+    return harmonic_closeness(g).select("id", F.round("score", 9).alias("score"))
+
+
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distances import eccentricities
+
+    g = _undirected_graph(spark, sf_dir)
+    return eccentricities(g)
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors effective_diameter_exact but keeps the result relational
+    (same ROUND as the oracle)."""
+    import math as _math
+
+    from pyspark.sql import Window
+    from networkit_spark.operators.distances import multi_source_bfs
+
+    g = _undirected_graph(spark, sf_dir)
+    n = g.num_vertices()
+    threshold = int(_math.ceil(0.9 * n))
+    dists = multi_source_bfs(g, g.vertices().select(F.col("id").alias("s")))
+    w = Window.partitionBy("s").orderBy(F.asc("dist"))
+    h = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == threshold)
+        .select("s", F.greatest(F.col("dist"), F.lit(1)).alias("h"))
+    )
+    return h.agg(F.round(F.avg("h"), 6).alias("effective_diameter"))
+
+
+def q_coarsen_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import coarsen
+
+    g = _undirected_graph(spark, sf_dir)
+    labels = connected_components(g, max_iterations=CC_ITERS).labels
+    coarse, _ = coarsen(g, labels)
+    return coarse.edges.select("src", "dst", "weight")
+
+
+def q_betweenness_est20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.betweenness import estimate_betweenness
+
+    g = _undirected_graph(spark, sf_dir)
+    src = g.vertices().filter(F.col("id") < 20).select(F.col("id").alias("s"))
+    res = estimate_betweenness(g, n_samples=19, sources=src)
+    return res.select("id", F.round("score", 6).alias("score"))
+
+
+def q_plm_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLM communities (rows-only: multi-level greedy optimization is not
+    expressible as fixed ANSI SQL; pytest holds PLM to planted-structure
+    and quality oracles)."""
+    from networkit_spark.operators.plm import plm
+
+    g = _undirected_graph(spark, sf_dir)
+    return plm(g).labels
+
+
+QUERIES.update(
+    {
+        "bfs_hops": q_bfs_hops,
+        "closeness": q_closeness,
+        "harmonic_closeness": q_harmonic,
+        "eccentricity": q_eccentricity,
+        "effective_diameter_90": q_effective_diameter,
+        "coarsen_cc": q_coarsen_cc,
+        "betweenness_est20": q_betweenness_est20,
+        "plm_labels": q_plm_labels,
+    }
+)
+
+
+# ------------------------------------------------------------- correlation
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _undirected_graph(spark, sf_dir)
+    und = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates(["u", "v"])
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    el = und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("x")), "u").join(
+        deg.select(F.col("id").alias("v"), F.col("d").alias("y")), "v"
+    )
+    mm = el.agg(F.avg("x").alias("xm"), F.avg("y").alias("ym"))
+    return (
+        el.crossJoin(F.broadcast(mm))
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("xm")) * (F.col("y") - F.col("ym")))
+                / F.sqrt(
+                    F.sum(F.pow(F.col("x") - F.col("xm"), 2))
+                    * F.sum(F.pow(F.col("y") - F.col("ym"), 2))
+                ),
+                6,
+            ).alias("r")
+        )
+    )
+
+
+def q_nominal_assortativity(spark: SparkSession, sf_dir: str, modulus: int = 7) -> DataFrame:
+    from networkit_spark.operators.correlation import nominal_assortativity
+
+    g = _undirected_graph(spark, sf_dir)
+    labels = g.vertices().select("id", (F.col("id") % modulus).alias("label"))
+    r = nominal_assortativity(g, labels)
+    return spark.createDataFrame([(r,)], "r double").select(
+        F.round("r", 6).alias("r")
+    )
+
+
+QUERIES.update(
+    {
+        "degree_assortativity": q_degree_assortativity,
+        "nominal_assortativity_mod7": q_nominal_assortativity,
+    }
+)
