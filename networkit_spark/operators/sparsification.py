@@ -1,0 +1,124 @@
+"""Edge-score sparsification: SCAN structural similarity, Jaccard
+neighborhood similarity, local-degree score, global threshold filter.
+
+Reference:
+- SCANStructuralSimilarityScore.cpp:13-16:
+    score(u,v) = (tri(u,v) + 1) / sqrt((deg u + 1)·(deg v + 1))
+- JaccardDistance.cpp:38-40 (surfaced as JaccardSimilarityAttributizer /
+  JaccardSimilaritySparsifier in the Python layer):
+    jaccard(u,v) = tri(u,v) / (deg u + deg v − tri(u,v));  distance = 1 − jaccard
+- LocalDegreeScore.cpp:28-84: per node i with degree d, rank its
+  neighbors by THEIR degree descending (ties share the competition rank
+  — reference's rank+=numSame bookkeeping ≡ SQL rank()); the edge to the
+  neighbor at rank r scores e = 1 − log(r)/log(d) (1 when d ≤ 1); an
+  edge's final score is the max over its two endpoint views.
+- GlobalThresholdFilter.cpp: keep edges with score above (or below) a
+  threshold.
+
+All four are single-pass joins/aggregations over the triangle-per-edge
+and degree tables — tri(u,v) reuses triangle_edge_scores (the
+degree-ordered enumeration, so the heavy lifting is skew-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.triangles import triangle_edge_scores
+
+
+def _edge_tri_deg(graph: Graph) -> DataFrame:
+    """(u, v, triangles, deg_u, deg_v) per canonical undirected edge."""
+    tri = triangle_edge_scores(graph)
+    deg = (
+        graph.simple_undirected_edges()
+        .select(F.col("u").alias("id"))
+        .unionByName(graph.simple_undirected_edges().select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        tri.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v")), "v")
+    )
+
+
+def scan_similarity_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — SCAN structural similarity."""
+    return _edge_tri_deg(graph).select(
+        "u",
+        "v",
+        (
+            (F.col("triangles") + 1)
+            / F.sqrt((F.col("deg_u") + 1) * (F.col("deg_v") + 1))
+        ).alias("score"),
+    )
+
+
+def jaccard_similarity_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — neighborhood Jaccard coefficient per edge."""
+    return _edge_tri_deg(graph).select(
+        "u",
+        "v",
+        (
+            F.col("triangles")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("triangles"))
+        ).alias("score"),
+    )
+
+
+def jaccard_distances(graph: Graph) -> DataFrame:
+    """(u, v, distance) = 1 − jaccard (JaccardDistance.cpp:38-40)."""
+    return jaccard_similarity_scores(graph).select(
+        "u", "v", (1.0 - F.col("score")).alias("distance")
+    )
+
+
+def local_degree_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — LocalDegreeScore.cpp:28-84 (see module docstring)."""
+    und = graph.simple_undirected_edges()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # both endpoint views: (node, nbr) with nbr's degree and node's degree
+    views = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    views = views.join(
+        deg.select(F.col("id").alias("node"), F.col("deg").alias("d")), "node"
+    ).join(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr")
+    w = Window.partitionBy("node").orderBy(F.desc("nbr_deg"))
+    scored = views.withColumn("rank", F.rank().over(w)).select(
+        "node",
+        "nbr",
+        F.when(F.col("d") <= 1, 1.0)
+        .otherwise(1.0 - F.log(F.col("rank").cast("double")) / F.log(F.col("d").cast("double")))
+        .alias("e"),
+    )
+    per_edge = scored.select(
+        F.least("node", "nbr").alias("u"),
+        F.greatest("node", "nbr").alias("v"),
+        "e",
+    )
+    return per_edge.groupBy("u", "v").agg(F.max("e").alias("score"))
+
+
+def global_threshold_filter(
+    graph: Graph, scores: DataFrame, threshold: float, above: bool = True
+) -> Graph:
+    """Sparsified graph keeping edges with score ≥ threshold (above=True)
+    or ≤ threshold (GlobalThresholdFilter.cpp semantics)."""
+    cond = F.col("score") >= threshold if above else F.col("score") <= threshold
+    keep = scores.filter(cond).select("u", "v")
+    kept_edges = (
+        graph.simple_undirected_edges()
+        .join(keep, ["u", "v"], "left_semi")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return Graph.from_edges(
+        kept_edges, directed=False, vertices=graph.vertices()
+    )

@@ -535,23 +535,39 @@ BFS_MAX_DEPTH = 12  # ≥ the derived graph's diameter at every test SF
 
 
 def _dists_cte(max_depth: int = BFS_MAX_DEPTH) -> str:
-    """All-pairs hop distances over sym: bounded recursive walk CTE,
-    dist = MIN over walk lengths (UNION dedups (s,id,dist) rows, the
-    depth bound stops cycle walks). Exact twin of multi_source_bfs for
-    any graph with diameter ≤ max_depth."""
-    return f"""walk(s, id, dist) AS (
-  SELECT id AS s, id AS id, 0 AS dist FROM v
-  UNION
-  SELECT w.s, e.dst, w.dist + 1 FROM walk w JOIN sym e ON w.id = e.src
-  WHERE w.dist < {max_depth}
-),
-dists AS (SELECT s, id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY s, id)"""
+    """All-pairs hop distances over sym: UNROLLED level-synchronous BFS
+    (frontier ⋈ sym, EXCEPT visited — the exact twin of
+    multi_source_bfs's plan). NOT a recursive walk CTE: on dense graphs
+    a walk re-expands every reachable pair at every depth (≈|pairs|·deg
+    rows per level for all max_depth levels); the per-level EXCEPT
+    prunes to first-reach rows, so levels past the diameter are empty
+    and free. CTEs are MATERIALIZED — each level is referenced by the
+    next level, the visited union, and the final result."""
+    parts = [
+        "f0 AS MATERIALIZED (SELECT id AS s, id AS id FROM v)",
+        "vis0 AS MATERIALIZED (SELECT s, id FROM f0)",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.s, e.dst AS id FROM f{k - 1} f JOIN sym e ON f.id = e.src
+  EXCEPT SELECT s, id FROM vis{k - 1})"""
+        )
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT s, id FROM vis{k - 1} UNION ALL SELECT s, id FROM f{k})"
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT s, id, CAST({k} AS BIGINT) AS dist FROM f{k}"
+        for k in range(0, max_depth + 1)
+    )
+    parts.append(f"dists AS MATERIALIZED ({levels})")
+    return ",\n".join(parts)
 
 
 def bfs_hops_sql() -> str:
     """Single-source BFS from the smallest vertex id."""
     return f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()}
 SELECT id, dist FROM dists WHERE s = (SELECT MIN(id) FROM v)
 """
@@ -561,7 +577,7 @@ def closeness_sql() -> str:
     """Standard closeness 1/Σd (Closeness.hpp:84-100; derived graph is
     connected at every test SF — verified before registering)."""
     return f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()}
 SELECT s AS id, ROUND(1.0 / SUM(dist), 9) AS score FROM dists GROUP BY s
 """
@@ -569,7 +585,7 @@ SELECT s AS id, ROUND(1.0 / SUM(dist), 9) AS score FROM dists GROUP BY s
 
 def harmonic_sql() -> str:
     return f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()}
 SELECT s AS id,
        ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) AS score
@@ -579,7 +595,7 @@ FROM dists GROUP BY s
 
 def eccentricity_sql() -> str:
     return f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()}
 SELECT s AS id, CAST(MAX(dist) AS BIGINT) AS ecc FROM dists GROUP BY s
 """
@@ -589,7 +605,7 @@ def effective_diameter_sql(ratio: float = 0.9) -> str:
     """EffectiveDiameter.cpp:28-92: h_s = max(1, threshold-th smallest
     distance from s); result = mean h_s."""
     return f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()},
 th AS (SELECT CAST(CEIL({ratio} * COUNT(*)) AS BIGINT) AS t FROM v),
 ranked AS (SELECT s, dist, ROW_NUMBER() OVER (PARTITION BY s ORDER BY dist) AS rk
@@ -700,7 +716,7 @@ def betweenness_sql(levels: int = BFS_MAX_DEPTH, normalized: bool = False) -> st
     body = _betweenness_body(levels, "", weighted=False)
     norm = "/ ((SELECT COUNT(*) FROM v) - 1.0) / ((SELECT COUNT(*) FROM v) - 2.0)" if normalized else ""
     return _materialize(f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()},
 {body}
 SELECT v.id, ROUND(COALESCE(sc.score, 0.0){norm}, 6) AS score
@@ -720,7 +736,7 @@ def estimate_betweenness_sql(
         levels, f"WHERE id < {max_source_id}", weighted=True
     )
     return _materialize(f"""
-WITH RECURSIVE {EDGES_CTE},
+WITH {EDGES_CTE},
 {_dists_cte()},
 {body}
 SELECT v.id,

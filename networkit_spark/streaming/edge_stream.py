@@ -15,9 +15,14 @@ graphio). The Spark-native mapping (SURVEY.md §2.5 streaming row):
   initialization — supersteps needed per batch ≈ how far the new edges
   moved the frontier, not the graph diameter).
 
-Incremental-only (additions). Removals invalidate the monotonicity and
-need full recompute or decremental structures — same as the reference's
-DynCC which handles deletions with a BFS repair; out of scope here.
+Deletions (the reference DynCC's repair step,
+cpp/components/DynConnectedComponents.cpp) map to LOCALIZED recompute:
+a removed edge can only split the component it lived in, so the batch
+resets every vertex of TOUCHED components to a singleton label and
+re-runs warm-started hash-min — unaffected components sit at their fixed
+point and never re-enter the frontier, so the repair cost scales with
+the touched components' size, not the graph (the distributed analog of
+DynCC's bounded BFS repair).
 """
 
 from __future__ import annotations
@@ -78,7 +83,11 @@ class incremental_connected_components:
         self.history: list[dict] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int):
-        new_edges = batch_df.select("src", "dst").withColumn("weight", F.lit(1.0))
+        has_ops = "op" in batch_df.columns
+        adds = batch_df.filter(F.col("op") != "del") if has_ops else batch_df
+        dels = batch_df.filter(F.col("op") == "del") if has_ops else None
+
+        new_edges = adds.select("src", "dst").withColumn("weight", F.lit(1.0))
         if self.edges is None:
             self.edges = new_edges.transform(truncate)
         else:
@@ -86,11 +95,44 @@ class incremental_connected_components:
                 self.edges.unionByName(new_edges).dropDuplicates(["src", "dst"]),
                 release=self.edges,
             )
+
+        init = self.labels
+        if dels is not None:
+            # remove both stored orientations of each deleted edge
+            pairs = dels.select("src", "dst")
+            pairs = pairs.unionByName(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            self.edges = truncate(
+                self.edges.join(pairs, ["src", "dst"], "left_anti"),
+                release=self.edges,
+            )
+            if init is not None:
+                # DynCC repair: a deletion can only split its own
+                # component — reset every vertex of TOUCHED components to
+                # a singleton; all other components stay at their fixed
+                # point (stale labels there remain valid warm starts).
+                endpoints = (
+                    dels.select(F.col("src").alias("id"))
+                    .unionByName(dels.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+                touched = (
+                    init.join(endpoints, "id", "left_semi")
+                    .select("label")
+                    .distinct()
+                )
+                init = init.join(touched, "label", "left_semi").select(
+                    "id", F.col("id").alias("label")
+                ).unionByName(
+                    init.join(touched, "label", "left_anti").select("id", "label")
+                )
+
         g = Graph.from_edges(self.edges, directed=False,
                              num_partitions=self.num_partitions)
         # warm start from the previous fixed point (new vertices fall back
         # to singleton labels inside connected_components)
-        res = connected_components(g, initial_labels=self.labels)
+        res = connected_components(g, initial_labels=init)
         self.labels = truncate(res.labels, release=self.labels)
         self.batches += 1
         self.history.append({"batch": int(batch_id), "supersteps": res.iterations})

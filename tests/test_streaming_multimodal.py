@@ -107,3 +107,41 @@ def test_decode_stub_raises(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(NotImplementedError):
         decode_stub(media)
+
+
+def test_incremental_cc_deletions_split(spark):
+    """DynCC deletion repair: removing a bridge splits its component;
+    untouched components keep their labels (localized recompute)."""
+    icc = incremental_connected_components(spark)
+    # path 0-1-2-3 plus separate component {7,8}
+    b1 = spark.createDataFrame(
+        [(0, 1, "add"), (1, 2, "add"), (2, 3, "add"), (7, 8, "add")],
+        "src long, dst long, op string",
+    )
+    icc(b1, 0)
+    assert {r["id"]: r["label"] for r in icc.labels.collect()} == {
+        0: 0, 1: 0, 2: 0, 3: 0, 7: 7, 8: 7,
+    }
+    # delete the 1-2 bridge (given in reverse orientation on purpose)
+    b2 = spark.createDataFrame([(2, 1, "del")], "src long, dst long, op string")
+    icc(b2, 1)
+    labels = {r["id"]: r["label"] for r in icc.labels.collect()}
+    assert labels == {0: 0, 1: 0, 2: 2, 3: 2, 7: 7, 8: 7}
+
+
+def test_incremental_cc_deletion_no_split_and_mixed_batch(spark):
+    """Deleting a cycle edge keeps the component; a batch can mix adds
+    and deletes."""
+    icc = incremental_connected_components(spark)
+    b1 = spark.createDataFrame(
+        [(0, 1, "add"), (1, 2, "add"), (2, 0, "add")],
+        "src long, dst long, op string",
+    )
+    icc(b1, 0)
+    b2 = spark.createDataFrame(
+        [(0, 1, "del"), (3, 0, "add")], "src long, dst long, op string"
+    )
+    icc(b2, 1)
+    labels = {r["id"]: r["label"] for r in icc.labels.collect()}
+    # cycle edge removal leaves 0-2-1 connected; 3 hangs off 0
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0}
