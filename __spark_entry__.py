@@ -80,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_est20": o.estimate_betweenness_sql(),
         "degree_assortativity": o.degree_assortativity_sql(),
         "nominal_assortativity_mod7": o.nominal_assortativity_sql(),
+        "adamic_adar": o.adamic_adar_sql(),
         # plm_labels: multi-level greedy Louvain is not expressible as
         # fixed ANSI SQL — rows-only; pytest holds it to planted-cluster
         # recovery, modularity invariants and the karate golden range.

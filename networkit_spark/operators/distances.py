@@ -103,17 +103,6 @@ def closeness_centrality(
     """(id, score) per Closeness.hpp:84-100 (see module docstring).
     `sources` restricts which vertices get scores (sampling at scale);
     default = all vertices (the reference's exact loop)."""
-    if variant == STANDARD:
-        from networkit_spark.operators.components import connected_components
-
-        n_comp = (
-            connected_components(graph).labels.select("label").distinct().count()
-        )
-        if n_comp > 1:
-            raise ValueError(
-                "standard closeness is undefined on disconnected graphs; "
-                "use variant='generalized' (Closeness.cpp:41-47)"
-            )
     n = graph.num_vertices()
     src = sources if sources is not None else _all_sources(graph)
     dists = multi_source_bfs(graph, src)
@@ -121,6 +110,16 @@ def closeness_centrality(
         F.sum("dist").cast("double").alias("sum_d"),
         F.count("*").cast("long").alias("reached"),  # includes self (dist 0)
     )
+    if variant == STANDARD:
+        # connectivity gate (Closeness.cpp:41-47) derived from the BFS
+        # itself — a source reaching < n vertices proves disconnection,
+        # no separate CC run needed
+        min_reached = per_source.agg(F.min("reached")).first()[0] or 0
+        if min_reached < n:
+            raise ValueError(
+                "standard closeness is undefined on disconnected graphs; "
+                "use variant='generalized' (Closeness.cpp:41-47)"
+            )
     if variant == STANDARD:
         score = F.when(F.col("sum_d") > 0, 1.0 / F.col("sum_d")).otherwise(0.0)
         if normalized:
@@ -184,12 +183,19 @@ def diameter_double_sweep(graph: Graph) -> int:
 
 # --------------------------------------------------------- effective diameter
 def _require_connected_undirected(graph: Graph, what: str):
-    from networkit_spark.operators.components import connected_components
-
+    """Connectivity gate: one BFS from the smallest vertex reaching all n
+    vertices ⇔ connected (undirected) — cheaper than a CC convergence
+    loop by a factor of the component structure."""
     if graph.directed:
         raise ValueError(f"{what} supports undirected graphs only")
-    n_comp = connected_components(graph).labels.select("label").distinct().count()
-    if n_comp > 1:
+    spark = graph.edges.sparkSession
+    first = graph.vertices().agg(F.min("id")).first()[0]
+    if first is None:
+        return
+    reached = multi_source_bfs(
+        graph, spark.createDataFrame([(int(first),)], "s long")
+    ).count()
+    if reached < graph.num_vertices():
         raise ValueError(f"{what} requires a connected graph")
 
 

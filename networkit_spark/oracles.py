@@ -789,3 +789,26 @@ ab AS (SELECT COALESCE(SUM(a.a * b.b), 0.0) AS ab FROM a JOIN b ON a.lu = b.lv)
 SELECT ROUND(((SELECT d FROM diag) - (SELECT ab FROM ab))
              / (1.0 - (SELECT ab FROM ab)), 6) AS r
 """
+
+
+def adamic_adar_sql() -> str:
+    """Per-edge Adamic–Adar score via triangle enumeration: each
+    triangle contributes the opposite corner's 1/ln(degree)
+    (AdamicAdarDistance.cpp:16-52)."""
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+aa AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v, 1.0 / ln(dc.degree) AS w
+  FROM tri JOIN deg dc ON dc.id = tri.c
+  UNION ALL
+  SELECT least(a, c), greatest(a, c), 1.0 / ln(db.degree)
+  FROM tri JOIN deg db ON db.id = tri.b
+  UNION ALL
+  SELECT least(b, c), greatest(b, c), 1.0 / ln(da.degree)
+  FROM tri JOIN deg da ON da.id = tri.a
+),
+s AS (SELECT u, v, SUM(w) AS score FROM aa GROUP BY u, v)
+SELECT e.u, e.v, ROUND(COALESCE(s.score, 0.0), 6) AS score
+FROM und e LEFT JOIN s ON s.u = e.u AND s.v = e.v
+"""

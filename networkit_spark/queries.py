@@ -518,3 +518,15 @@ QUERIES.update(
         "nominal_assortativity_mod7": q_nominal_assortativity,
     }
 )
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import adamic_adar_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return adamic_adar_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+QUERIES["adamic_adar"] = q_adamic_adar

@@ -109,3 +109,27 @@ def test_matching_valid_and_maximal(spark):
     # maximality: every graph edge touches a matched vertex
     for u, v in edges:
         assert u in seen or v in seen, (u, v)
+
+
+def test_adamic_adar_oracle(spark):
+    from networkit_spark.operators.sparsification import (
+        adamic_adar_distances,
+        adamic_adar_scores,
+    )
+
+    edges = erdos_renyi(24, 0.2, seed=19)
+    g = Graph.from_pairs(spark, edges, directed=False, n=24)
+    nbrs = {v: set() for v in range(24)}
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    got = _by_edge(adamic_adar_scores(g), "score")
+    dist = _by_edge(adamic_adar_distances(g), "distance")
+    assert set(got) == {(min(u, v), max(u, v)) for u, v in edges}
+    for (u, v), s in got.items():
+        want = sum(1.0 / math.log(len(nbrs[w])) for w in nbrs[u] & nbrs[v])
+        assert s == pytest.approx(want, abs=1e-9), (u, v)
+        if want > 0:
+            assert dist[(u, v)] == pytest.approx(1.0 / want)
+        else:
+            assert math.isinf(dist[(u, v)])
