@@ -48,7 +48,7 @@ def _forward_sssp(graph: Graph, sources: DataFrame):
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
-    visited = truncate(
+    level0 = truncate(
         sources.select(F.col("s").cast("long").alias("s"))
         .distinct()
         .select(
@@ -58,7 +58,10 @@ def _forward_sssp(graph: Graph, sources: DataFrame):
             F.lit(1.0).alias("sigma"),
         )
     )
-    frontier = visited
+    # union of per-level checkpoints: shallow lineage, no re-truncation
+    # (see multi_source_bfs)
+    visited = level0
+    frontier = level0
     depth = 0
     while True:
         depth += 1
@@ -73,7 +76,7 @@ def _forward_sssp(graph: Graph, sources: DataFrame):
         nxt = truncate(nxt)
         if nxt.limit(1).count() == 0:
             break
-        visited = truncate(visited.unionByName(nxt), release=visited)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited, sym
 

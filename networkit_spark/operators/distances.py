@@ -60,12 +60,17 @@ def multi_source_bfs(
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
-    visited = truncate(
+    level0 = truncate(
         sources.select(F.col("s").cast("long").alias("s"))
         .distinct()
         .select("s", F.col("s").alias("id"), F.lit(0).cast("long").alias("dist"))
     )
-    frontier = visited
+    # visited = plain union of the per-level checkpoints: each level is
+    # already truncated, so the union's lineage stays shallow (≤ diameter
+    # cached scans) and needs no re-materialization of its own — halves
+    # the per-level job count vs truncating the union too.
+    visited = level0
+    frontier = level0
     depth = 0
     while max_depth is None or depth < max_depth:
         depth += 1
@@ -79,7 +84,7 @@ def multi_source_bfs(
         nxt = truncate(nxt)
         if nxt.limit(1).count() == 0:
             break
-        visited = truncate(visited.unionByName(nxt), release=visited)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     sym.unpersist()
     return visited
