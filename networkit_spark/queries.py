@@ -530,3 +530,16 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["adamic_adar"] = q_adamic_adar
+
+
+def q_leiden_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden communities (rows-only like plm_labels; pytest holds the
+    algorithm to planted recovery, karate quality and the
+    connected-communities guarantee)."""
+    from networkit_spark.operators.leiden import leiden
+
+    g = _undirected_graph(spark, sf_dir)
+    return leiden(g).labels
+
+
+QUERIES["leiden_labels"] = q_leiden_labels
