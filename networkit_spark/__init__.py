@@ -56,6 +56,39 @@ from networkit_spark.operators.triangles import (
     extract_largest_connected_component,
     triangle_edge_scores,
 )
+from networkit_spark.operators.plm import plm
+from networkit_spark.operators.leiden import leiden
+from networkit_spark.operators.coarsening import coarsen, prolong
+from networkit_spark.operators.distances import (
+    closeness_centrality,
+    diameter_double_sweep,
+    diameter_exact,
+    eccentricities,
+    effective_diameter_approx,
+    effective_diameter_exact,
+    harmonic_closeness,
+    multi_source_bfs,
+    neighborhood_function,
+    neighborhood_function_approx,
+)
+from networkit_spark.operators.betweenness import (
+    betweenness_centrality,
+    estimate_betweenness,
+)
+from networkit_spark.operators.correlation import (
+    attribute_assortativity,
+    degree_assortativity,
+    nominal_assortativity,
+)
+from networkit_spark.operators.spanning import maximum_spanning_forest, spanning_forest
+from networkit_spark.operators.matching import local_max_matching
+from networkit_spark.operators.sparsification import (
+    adamic_adar_scores,
+    global_threshold_filter,
+    jaccard_similarity_scores,
+    local_degree_scores,
+    scan_similarity_scores,
+)
 
 __all__ = [
     "Graph",
@@ -90,6 +123,33 @@ __all__ = [
     "label_propagation_async",
     "triangle_edge_scores",
     "extract_largest_connected_component",
+    "plm",
+    "leiden",
+    "coarsen",
+    "prolong",
+    "multi_source_bfs",
+    "closeness_centrality",
+    "harmonic_closeness",
+    "eccentricities",
+    "diameter_exact",
+    "diameter_double_sweep",
+    "effective_diameter_exact",
+    "effective_diameter_approx",
+    "neighborhood_function",
+    "neighborhood_function_approx",
+    "betweenness_centrality",
+    "estimate_betweenness",
+    "attribute_assortativity",
+    "degree_assortativity",
+    "nominal_assortativity",
+    "maximum_spanning_forest",
+    "spanning_forest",
+    "local_max_matching",
+    "scan_similarity_scores",
+    "jaccard_similarity_scores",
+    "local_degree_scores",
+    "adamic_adar_scores",
+    "global_threshold_filter",
 ]
 
 __version__ = "0.1.0"

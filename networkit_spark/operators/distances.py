@@ -346,3 +346,89 @@ def effective_diameter_approx(
 
     sym.unpersist()
     return float(state.agg(F.avg("done_h")).first()[0])
+
+
+def neighborhood_function_approx(
+    graph: Graph,
+    k: int = 64,
+    r: int = 7,
+    seed: int = 42,
+) -> list[int]:
+    """ANF neighborhood function (NeighborhoodFunctionApproximation.cpp:
+    38-141): result[h-1] = Σ over nodes of the ROUNDED reach estimate
+    after h rounds (finished nodes keep their frozen estimate). Same
+    seeded Flajolet–Martin masks as effective_diameter_approx; rounds
+    run until every node's masks saturate the global maximum."""
+    _require_connected_undirected(graph, "neighborhood_function_approx")
+    n = graph.num_vertices()
+    n_bits = int(math.ceil(math.log2(max(n, 2)))) + r
+
+    sym = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
+    mask_cols = [f"m{j}" for j in range(k)]
+
+    def init_mask(j: int):
+        h = F.xxhash64("id", F.lit(j), F.lit(seed))
+        pos = F.bit_count(F.bitwise_not(h).bitwiseAND(h - 1))
+        return F.when(pos < n_bits, F.pow(F.lit(2.0), pos).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    state = graph.vertices().select(
+        "id", *[init_mask(j).alias(c) for j, c in enumerate(mask_cols)]
+    ).withColumn("active", F.lit(True))
+    state = truncate(state)
+    highest = state.agg(*[F.bit_or(c).alias(c) for c in mask_cols]).first()
+
+    result: list[int] = []
+    sum_removed = 0
+    while True:
+        active_nodes = state.filter("active")
+        if active_nodes.limit(1).count() == 0:
+            break
+        msgs = (
+            sym.join(state.select(F.col("id").alias("src"), *mask_cols), "src")
+            .join(active_nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(c).alias(f"g_{c}") for c in mask_cols])
+        )
+        merged = state.join(msgs, "id", "left").select(
+            "id",
+            "active",
+            *[
+                F.when(
+                    F.col("active"),
+                    F.col(c).bitwiseOR(F.coalesce(F.col(f"g_{c}"), F.lit(0))),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in mask_cols
+            ],
+        )
+        b = sum(
+            (F.bit_count(F.col(c).bitwiseXOR(F.col(c) + 1)) - 1) for c in mask_cols
+        ) / float(k)
+        est = F.round(F.pow(F.lit(2.0), b) / 0.77351).cast("long")
+        saturated = None
+        for c in mask_cols:
+            cond = F.col(c) == F.lit(int(highest[c])).cast("long")
+            saturated = cond if saturated is None else (saturated & cond)
+        state = truncate(
+            merged.withColumn("est", est).withColumn(
+                "finished", F.col("active") & saturated
+            ),
+            release=state,
+        )
+        row = state.filter("active").agg(
+            F.sum("est").alias("est_sum"),
+            F.sum(F.when(F.col("finished"), F.col("est"))).alias("removed"),
+        ).first()
+        result.append(int(sum_removed + (row["est_sum"] or 0)))
+        sum_removed += int(row["removed"] or 0)
+        state = state.select(
+            "id", *mask_cols, (F.col("active") & ~F.col("finished")).alias("active")
+        )
+    sym.unpersist()
+    return result

@@ -152,3 +152,27 @@ def test_effective_diameter_approx_deterministic_and_sane(spark):
     assert approx1 == approx2  # seeded determinism
     assert 1.0 <= approx1 <= math.ceil(exact) + 2
     assert abs(approx1 - exact) <= 2.0
+
+
+def test_neighborhood_function_approx(spark):
+    """ANF NF: deterministic under a seed, non-decreasing per round, and
+    the final round's total reach lands near n² (all pairs incl. self —
+    the reference's accumulation, NeighborhoodFunctionApproximation.cpp:
+    108-141)."""
+    from networkit_spark.operators.distances import neighborhood_function_approx
+
+    edges = erdos_renyi(26, 0.2, seed=29)
+    from tests.oracle.dist import adjacency, bfs_dists
+
+    comp = bfs_dists(adjacency(26, edges), 0)
+    nodes = sorted(comp)
+    remap = {v: i for i, v in enumerate(nodes)}
+    sub = [(remap[u], remap[v]) for u, v in edges if u in comp and v in comp]
+    n = len(nodes)
+    g = Graph.from_pairs(spark, sub, directed=False, n=n)
+
+    nf1 = neighborhood_function_approx(g, k=32, seed=11)
+    nf2 = neighborhood_function_approx(g, k=32, seed=11)
+    assert nf1 == nf2
+    assert all(b >= a for a, b in zip(nf1, nf1[1:]))
+    assert 0.4 * n * n <= nf1[-1] <= 2.5 * n * n
