@@ -8,7 +8,7 @@ down; none iterate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 
@@ -103,11 +103,12 @@ def merge_graph(a: Graph, b: Graph) -> Graph:
 
 def continuous_node_ids(graph: Graph) -> DataFrame:
     """GraphTools::getContinuousNodeIds (GraphTools.hpp:361) —
-    (id, compact_id) with compact ids 0..n-1 in ascending id order."""
-    w = Window.orderBy("id")
-    return graph.vertices().withColumn(
-        "compact_id", (F.row_number().over(w) - 1).cast("long")
-    )
+    (id, compact_id) with compact ids 0..n-1 in ascending id order.
+    Two-phase rank (plans/ranking.py) — the canonical-relabel harness
+    must not funnel the vertex set through one task."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    return global_row_numbers(graph.vertices(), "id", "compact_id")
 
 
 def compact_graph(graph: Graph) -> Graph:

@@ -31,19 +31,20 @@ same `src` hash-partitioning the edge table already carries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 
 
 def compact_labels(labels: DataFrame) -> DataFrame:
     """(label → coarse_id) dictionary: dense 0..k-1 by ascending label
-    (canonical form of Partition::compact)."""
-    w = Window.orderBy("label")
-    return (
-        labels.select("label")
-        .distinct()
-        .withColumn("coarse_id", F.row_number().over(w) - 1)
+    (canonical form of Partition::compact). Two-phase rank
+    (plans/ranking.py) — the label dictionary is vertex-sized on the
+    first Louvain level; no single-partition global window."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    return global_row_numbers(
+        labels.select("label").distinct(), "label", "coarse_id"
     )
 
 

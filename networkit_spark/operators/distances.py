@@ -235,6 +235,7 @@ def neighborhood_function(graph: Graph) -> DataFrame:
         .groupBy("dist")
         .agg(F.count("*").alias("cnt"))
     )
+    # bounded-window: one row per realized hop distance (≤ diameter).
     w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
     return per_d.select(
         "dist", F.sum("cnt").over(w).cast("long").alias("n_pairs")

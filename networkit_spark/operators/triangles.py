@@ -155,12 +155,12 @@ def approx_global_clustering_coefficient(graph: Graph, n_samples: int = 10000,
     nbrs = adj.groupBy("id").agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
     nbrs = nbrs.withColumn("deg", F.size("nbrs")).filter(F.col("deg") >= 2)
     nbrs = nbrs.withColumn("wedges", (F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
-    from pyspark.sql import Window
+    from networkit_spark.plans.ranking import global_prefix_sums
 
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
     # NB: named cum_off, not "offset" — DataFrame.offset() is a method in
     # pyspark 4 and attribute access would resolve to it, not the column.
-    cum = nbrs.withColumn("cum_off", F.coalesce(F.sum("wedges").over(w), F.lit(0)))
+    # Two-phase exclusive prefix sum (plans/ranking.py) — no global window.
+    cum = global_prefix_sums(nbrs, "id", "wedges", out_col="cum_off")
     total_wedges = cum.agg(F.sum("wedges")).first()[0] or 0
     if total_wedges == 0:
         return 0.0

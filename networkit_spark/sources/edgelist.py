@@ -56,8 +56,9 @@ def read_edge_list(
             .unionByName(edges.select(F.col("dst").alias("raw")))
             .distinct()
         )
-        w = Window.orderBy("raw")
-        mapping = ids.withColumn("mapped", (F.row_number().over(w) - 1).cast("long"))
+        from networkit_spark.plans.ranking import global_row_numbers
+
+        mapping = global_row_numbers(ids, "raw", "mapped")
         edges = (
             edges.join(mapping.withColumnRenamed("raw", "src"), "src")
             .withColumnRenamed("mapped", "msrc")
@@ -89,6 +90,9 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
         )
         .filter(~F.col("value").startswith("%"))
     )
+    # bounded-window: METIS is an inherently sequential single-file text
+    # format (line i = node i's adjacency) — order exists only within the
+    # one input split, so the global window is the format's own bound.
     w = Window.orderBy("lineno")
     numbered = lines.withColumn("rn", F.row_number().over(w))
     header = numbered.filter("rn = 1").select("value").first()["value"].split()
@@ -146,6 +150,8 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("lineno"), F.trim("value").alias("value")
     )
+    # bounded-window: the Partition text format is one label per line in
+    # file order — a single sequential file by definition.
     w = Window.orderBy("lineno")
     return lines.withColumn("rn", F.row_number().over(w)).select(
         (F.col("rn") - 1).cast("long").alias("id"),

@@ -28,6 +28,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -100,14 +101,24 @@ def extract_text(pages: DataFrame) -> DataFrame:
         for pdf in it:
             s = _decode(pdf["html"])
             title = s.str.extractall(_TITLE_RE)[0].groupby(level=0).agg("\n".join)
-            anchor = s.str.extractall(_ANCHOR_RE)[1].groupby(level=0).agg("\n".join)
-            para = s.str.extractall(_PARA_RE)[0].groupby(level=0).agg("\n".join)
-            parts = pd.concat(
-                [p.reindex(s.index) for p in (title, anchor, para)], axis=1
-            )
-            text = parts.apply(
-                lambda row: "\n".join(x for x in row if isinstance(x, str)), axis=1
-            )
+            parts = [
+                p.reindex(s.index)
+                for p in (
+                    title,
+                    s.str.extractall(_ANCHOR_RE)[1].groupby(level=0).agg("\n".join),
+                    s.str.extractall(_PARA_RE)[0].groupby(level=0).agg("\n".join),
+                )
+            ]
+            # vectorized join of the present parts with '\n' (byte-identical
+            # to "\n".join(non-null parts) — asserted vs reference_extract
+            # in tests/test_pages.py); no per-row Python lambda.
+            text = pd.Series("", index=s.index, dtype=object)
+            started = np.zeros(len(s), dtype=bool)
+            for part in parts:
+                has = part.notna().to_numpy()
+                sep = np.where(started & has, "\n", "")
+                text = text + pd.Series(sep, index=s.index) + part.fillna("")
+                started |= has
             yield pd.DataFrame({"url": pdf["url"], "text": text})
 
     return pages.select("url", "html").mapInPandas(batches, schema="url string, text string")

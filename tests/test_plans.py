@@ -61,3 +61,66 @@ def test_triangles_edgeless(spark):
     v = spark.range(4)
     g = Graph.from_edges(e, directed=False, vertices=v)
     assert total_triangles(g) == 0
+
+
+# ----------------------------------------------- global-window source lock
+def test_no_unbounded_global_windows():
+    """No `Window.orderBy(...)` without partitionBy anywhere in the
+    package outside plans/ranking.py (the two-phase implementation) or a
+    line explicitly justified with a `bounded-window` marker within the
+    three preceding lines (cardinality bounded by partition count /
+    diameter / single-file format, not data size)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "networkit_spark"
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        if path.name == "ranking.py":
+            continue
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"Window\.orderBy", line):
+                context = "\n".join(lines[max(0, i - 3): i + 1])
+                if "bounded-window" not in context:
+                    offenders.append(f"{path.name}:{i + 1}: {line.strip()}")
+    assert not offenders, f"unjustified global windows: {offenders}"
+
+
+def test_two_phase_rank_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from networkit_spark.plans.ranking import (
+        global_prefix_sums,
+        global_row_numbers,
+    )
+
+    df = (
+        spark.range(10_000)
+        .select(F.xxhash64("id").alias("key"))
+        .distinct()
+        .withColumn("val", F.pmod(F.col("key"), F.lit(7)) + 1)
+    )
+    got = {
+        r["key"]: r["rn"] for r in global_row_numbers(df, "key", "rn").collect()
+    }
+    # bounded-window: oracle side of the equivalence test only
+    w = Window.orderBy("key")
+    want = {
+        r["key"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    assert got == want
+
+    got_c = {
+        r["key"]: r["cum"]
+        for r in global_prefix_sums(df, "key", "val", "cum").collect()
+    }
+    wc = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    want_c = {
+        r["key"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("val").over(wc), F.lit(0))
+        ).collect()
+    }
+    assert got_c == want_c
