@@ -36,6 +36,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _side_channel(name: str) -> str:
+    """Driver correctness runs at sf0.01 — the oracle reads the labels the
+    sf0.01 query run wrote (queries.side_channel_path keeps other scale
+    factors on their own files)."""
+    from networkit_spark.queries import side_channel_path
+
+    return side_channel_path(name, "sf0.01")
+
+
 def oracle_sql() -> dict[str, str]:
     from networkit_spark import oracles as o
 
@@ -81,11 +90,21 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": o.degree_assortativity_sql(),
         "nominal_assortativity_mod7": o.nominal_assortativity_sql(),
         "adamic_adar": o.adamic_adar_sql(),
-        # plm_labels: multi-level greedy Louvain is not expressible as
-        # fixed ANSI SQL — rows-only; pytest holds it to planted-cluster
-        # recovery, modularity invariants and the karate golden range.
-        # pagerank_converged / eigenvector_top20: iteration count is
-        # data-dependent (tol-driven) — intentionally no SQL twin; the
-        # driver records the weaker rows-only check and pytest holds the
-        # semantics to the reference's golden fixtures.
+        # Convergence-mode queries: RECURSIVE-CTE twins — DuckDB iterates
+        # the same superstep to the same stopping rule, so the (data-
+        # dependent) iteration count is discovered independently by both
+        # engines and the hash check covers the full tol semantics.
+        "pagerank_converged": o.pagerank_converged_sql(),
+        "eigenvector_top20": o.eigenvector_top20_sql(),
+        # Nondeterministic community detection: side-channel property
+        # oracles — the Spark query materializes its labels to a parquet
+        # side channel and returns the partition-property summary
+        # (properness, community count, modularity, coverage); DuckDB
+        # recomputes the identical summary from (labels parquet, edges).
+        "plm_labels": o.community_summary_sql(
+            _side_channel("plm_labels")
+        ),
+        "leiden_labels": o.community_summary_sql(
+            _side_channel("leiden_labels")
+        ),
     }

@@ -79,6 +79,120 @@ SELECT id, ROUND(score, 6) AS score FROM r{iters}
 """
 
 
+def pagerank_converged_sql(damp: float = DAMP, tol: float = 1e-8) -> str:
+    """Convergence-mode PageRank as a RECURSIVE CTE: DuckDB iterates the
+    same superstep as operators/pagerank.py (teleport + damped pull +
+    distributed sink mass) until the same stopping rule — L2 norm of the
+    pre-swap score delta ≤ tol (PageRank.cpp:53-63). The iteration count
+    is discovered by BOTH engines independently from the data, so the
+    hash compare verifies the full tol-driven semantics, not a fixed
+    unroll. Each recursive row carries the iteration's global L2 diff
+    (window over the working table) so the guard can read the previous
+    iteration's residual."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+outdeg AS (SELECT src AS id, CAST(SUM(weight) AS DOUBLE) AS deg FROM edges GROUP BY src),
+en AS (SELECT e.src, e.dst, e.weight / d.deg AS frac FROM edges e JOIN outdeg d ON d.id = e.src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+pr AS (
+  SELECT 0 AS it, id, 1.0 / (SELECT n FROM nn) AS score, 1e308 AS diff FROM v
+  UNION ALL
+  SELECT nxt.it, nxt.id, nxt.score,
+         SQRT(SUM((nxt.score - nxt.old_score) * (nxt.score - nxt.old_score)) OVER ()) AS diff
+  FROM (
+    SELECT p.it + 1 AS it, p.id,
+           (1.0 - {damp}) / (SELECT n FROM nn)
+             + {damp} * COALESCE(c.contrib, 0.0)
+             + {damp} / (SELECT n FROM nn)
+               * (SELECT COALESCE(SUM(score), 0.0) FROM pr
+                  WHERE id NOT IN (SELECT id FROM outdeg)) AS score,
+           p.score AS old_score
+    FROM pr p
+    LEFT JOIN (SELECT en.dst AS id, SUM(p2.score * en.frac) AS contrib
+               FROM en JOIN pr p2 ON p2.id = en.src GROUP BY en.dst) c ON c.id = p.id
+  ) nxt
+  WHERE (SELECT MIN(diff) FROM pr) > {tol}
+)
+SELECT id, ROUND(score, 6) AS score FROM pr WHERE it = (SELECT MAX(it) FROM pr)
+"""
+
+
+def eigenvector_top20_sql(tol: float = 1e-6, max_iterations: int = 50) -> str:
+    """Eigenvector centrality to convergence (recursive CTE twin of
+    operators/centrality.py eigenvector_centrality): power iteration on
+    the symmetrized adjacency, L2-normalized per step, stop when the L∞
+    score delta ≤ tol or the iteration cap hits. Top-20 ordered by the
+    ROUNDED score (HALF_UP, 4 dp) then id — both engines sort on the
+    displayed precision so near-ties can't diverge on 1e-15 raw-score
+    noise."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+ev AS (
+  SELECT 0 AS it, id, 1.0 / SQRT((SELECT n FROM nn)) AS score, 1e308 AS diff FROM v
+  UNION ALL
+  SELECT nrm.it, nrm.id, nrm.score,
+         MAX(ABS(nrm.score - nrm.old_score)) OVER () AS diff
+  FROM (
+    SELECT raw.it, raw.id,
+           raw.raw / SQRT(SUM(raw.raw * raw.raw) OVER ()) AS score,
+           raw.old_score
+    FROM (
+      SELECT p.it + 1 AS it, p.id,
+             COALESCE(g.rawsum, 0.0) AS raw, p.score AS old_score
+      FROM ev p
+      LEFT JOIN (SELECT s.dst AS id, SUM(p2.score * s.weight) AS rawsum
+                 FROM sym s JOIN ev p2 ON p2.id = s.src GROUP BY s.dst) g ON g.id = p.id
+    ) raw
+  ) nrm
+  WHERE (SELECT MIN(diff) FROM ev) > {tol} AND (SELECT MIN(it) FROM ev) < {max_iterations}
+)
+SELECT id, ROUND(score, 4) AS score
+FROM ev WHERE it = (SELECT MAX(it) FROM ev)
+ORDER BY ROUND(score, 4) DESC, id
+LIMIT 20
+"""
+
+
+def community_summary_sql(labels_parquet: str) -> str:
+    """Property oracle for nondeterministic community detection
+    (PLM / Leiden): the Spark query materializes its labels to a
+    side-channel parquet, then both engines independently recompute the
+    SAME summary from (labels, edges) — partition properness (every
+    vertex exactly once, labels ⊆ vertex set), community count, and
+    modularity / coverage with the Modularity.cpp:44-82 formula. A wrong
+    Spark modularity implementation, an improper partition, or a
+    divergent label set all break the hash. The quality LEVEL of the
+    labels is held by pytest (planted recovery, karate goldens) — the
+    reference contract for exactly this class of check is
+    CommunityGTest.cpp:284-305."""
+    return f"""
+WITH {EDGES_CTE},
+labels AS (SELECT id, label FROM read_parquet('{labels_parquet}/*.parquet')),
+proper AS (
+  SELECT (SELECT COUNT(*) FROM v) = (SELECT COUNT(*) FROM labels)
+     AND NOT EXISTS (SELECT 1 FROM labels WHERE label IS NULL)
+     AND NOT EXISTS (SELECT 1 FROM labels GROUP BY id HAVING COUNT(*) > 1)
+     AND NOT EXISTS (SELECT 1 FROM labels l LEFT JOIN v ON v.id = l.id
+                     WHERE v.id IS NULL) AS ok
+),
+el AS (SELECT e.u, e.v, 1.0 AS weight, lu.label AS lu, lv.label AS lv
+  FROM und e JOIN labels lu ON lu.id = e.u JOIN labels lv ON lv.id = e.v),
+tot AS (SELECT SUM(CASE WHEN lu = lv THEN weight ELSE 0.0 END) AS intra,
+               SUM(weight) AS m FROM el),
+vol AS (SELECT src AS id, SUM(weight) AS vol FROM sym GROUP BY src),
+volc AS (SELECT l.label, SUM(COALESCE(vol.vol, 0.0)) AS vol_c
+  FROM labels l LEFT JOIN vol ON vol.id = l.id GROUP BY l.label)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_nodes,
+       (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM labels) AS n_communities,
+       (SELECT ok FROM proper) AS is_proper,
+       ROUND((SELECT intra / m FROM tot)
+         - (SELECT SUM(POW(vol_c / (2.0 * (SELECT m FROM tot)), 2)) FROM volc),
+         6) AS modularity,
+       ROUND((SELECT intra / m FROM tot), 6) AS coverage
+"""
+
+
 def cc_sql(iters: int = CC_ITERS) -> str:
     parts = ["l0 AS (SELECT id, id AS label FROM v)"]
     for k in range(1, iters + 1):
@@ -622,7 +736,7 @@ def coarsen_cc_sql(iters: int = CC_ITERS) -> str:
     directions, the intra self-loop counts each fine edge once
     (ParallelPartitionCoarsening.cpp:43 `sv != su || u >= v`)."""
     cc = cc_sql(iters).strip()
-    return f"""
+    return _materialize(f"""
 WITH labels AS ({cc}),
 dict AS (SELECT label, ROW_NUMBER() OVER (ORDER BY label) - 1 AS coarse_id
          FROM (SELECT DISTINCT label FROM labels)),
@@ -650,7 +764,7 @@ UNION ALL
 SELECT cu AS src, cu AS dst,
        SUM(CASE WHEN src = dst THEN weight ELSE weight / 2.0 END) AS weight
 FROM labeled WHERE cu = cv GROUP BY cu
-"""
+""")
 
 
 # --------------------------------------------------------- betweenness SQL

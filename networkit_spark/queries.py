@@ -297,11 +297,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- rows-only (no SQL twin)
+# ------------------------------------------ convergence-mode (recursive twins)
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Convergence-mode PageRank (tol-driven superstep count is data-
-    dependent — not expressible as fixed ANSI SQL; driver records the
-    rows-only check, pytest covers the semantics on golden fixtures)."""
+    """Convergence-mode PageRank. The DuckDB twin
+    (oracles.pagerank_converged_sql) is a RECURSIVE CTE running the same
+    superstep to the same L2-residual ≤ tol stopping rule, so BOTH
+    engines discover the (data-dependent) iteration count independently
+    — a full-strength hash check of the convergence semantics."""
     from networkit_spark.operators.pagerank import DISTRIBUTE_SINKS, pagerank
 
     g = _directed_graph(spark, sf_dir)
@@ -310,14 +312,18 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eigenvector_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 eigenvector centrality; DuckDB twin is a recursive CTE with
+    the same power iteration / L∞ stopping rule. Ordering is on the
+    ROUNDED score (then id) in BOTH engines, so 1e-15 raw-score noise
+    between summation orders cannot flip near-tied ranks."""
     from networkit_spark.operators.centrality import eigenvector_centrality
 
     g = _undirected_graph(spark, sf_dir)
     ev = eigenvector_centrality(g, tol=1e-6, max_iterations=50)
     return (
-        ev.orderBy(F.desc("score"), F.asc("id"))
+        ev.select("id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
         .limit(20)
-        .select("id", F.round("score", 4).alias("score"))
     )
 
 
@@ -446,14 +452,71 @@ def q_betweenness_est20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("score", 6).alias("score"))
 
 
+SIDE_CHANNEL_ROOT = "/tmp/networkit_spark_side_channel"
+
+
+def side_channel_path(name: str, sf_tag: str) -> str:
+    """Deterministic per-(query, scale-factor) parquet path used to hand a
+    nondeterministic query's own output to its DuckDB property oracle."""
+    return f"{SIDE_CHANNEL_ROOT}/{name}_{sf_tag}.parquet"
+
+
+def _community_summary(
+    spark: SparkSession, sf_dir: str, name: str, labels: DataFrame, g: Graph
+) -> DataFrame:
+    """Materialize community labels to the side channel, then recompute
+    the partition-property summary FROM THE MATERIALIZED COPY (so the
+    summary and what the oracle reads are the same rows even though the
+    algorithm is nondeterministic across re-evaluations). The DuckDB twin
+    (oracles.community_summary_sql) recomputes the identical summary
+    independently from (labels parquet, edges) — properness, community
+    count, modularity, coverage (CommunityGTest.cpp:284-305 contract)."""
+    import os
+
+    from networkit_spark.operators.quality import (
+        coverage,
+        is_proper_clustering,
+        modularity,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = side_channel_path(name, tag)
+    labels.select("id", "label").write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    return (
+        spark.createDataFrame(
+            [
+                (
+                    persisted.count(),
+                    persisted.select("label").distinct().count(),
+                    is_proper_clustering(g, persisted),
+                    modularity(g, persisted),
+                    coverage(g, persisted),
+                )
+            ],
+            "n_nodes long, n_communities long, is_proper boolean, "
+            "modularity double, coverage double",
+        )
+        .select(
+            "n_nodes",
+            "n_communities",
+            "is_proper",
+            F.round("modularity", 6).alias("modularity"),
+            F.round("coverage", 6).alias("coverage"),
+        )
+    )
+
+
 def q_plm_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLM communities (rows-only: multi-level greedy optimization is not
-    expressible as fixed ANSI SQL; pytest holds PLM to planted-structure
-    and quality oracles)."""
+    """PLM community summary (multi-level greedy optimization is
+    nondeterministic — the hashable artifact is the property summary of
+    the labels PLM actually produced, exchanged via the side channel;
+    pytest additionally holds PLM to planted-structure and quality
+    oracles)."""
     from networkit_spark.operators.plm import plm
 
     g = _undirected_graph(spark, sf_dir)
-    return plm(g).labels
+    return _community_summary(spark, sf_dir, "plm_labels", plm(g).labels, g)
 
 
 QUERIES.update(
@@ -533,13 +596,13 @@ QUERIES["adamic_adar"] = q_adamic_adar
 
 
 def q_leiden_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leiden communities (rows-only like plm_labels; pytest holds the
-    algorithm to planted recovery, karate quality and the
-    connected-communities guarantee)."""
+    """Leiden community summary (side-channel property oracle like
+    plm_labels; pytest holds the algorithm to planted recovery, karate
+    quality and the connected-communities guarantee)."""
     from networkit_spark.operators.leiden import leiden
 
     g = _undirected_graph(spark, sf_dir)
-    return leiden(g).labels
+    return _community_summary(spark, sf_dir, "leiden_labels", leiden(g).labels, g)
 
 
 QUERIES["leiden_labels"] = q_leiden_labels
