@@ -26,11 +26,13 @@ that up automatically once it's under the broadcast threshold.
 
 Scale note: at web scale (10^12 edges, diameter ~ hundreds via long
 chains) plain hash-min's superstep count is bounded by graph diameter;
-the standard fix is alternating large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-which converges in O(log² n) — planned as `connected_components_twophase`
-(see SURVEY.md §2.7 note on coarsening after 8 iterations,
-ParallelConnectedComponents.cpp:65-76, which is the same idea).
+`connected_components_twophase` below implements the standard fix —
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), O(log² n)
+rounds independent of diameter (see SURVEY.md §2.7 note on coarsening
+after 8 iterations, ParallelConnectedComponents.cpp:65-76, which is the
+same idea). Same fixed point (min id per component) — asserted against
+hash-min in tests/test_components.py.
 """
 
 from __future__ import annotations
@@ -59,13 +61,13 @@ class ComponentsResult:
 
     def compact_labels(self) -> DataFrame:
         """(id, component) with components densely ranked 0..k-1 in ascending
-        min-id order — matches the reference's BFS discovery order."""
-        from pyspark.sql import Window
+        min-id order — matches the reference's BFS discovery order.
+        Two-phase rank (plans/ranking.py): a web graph has millions of
+        components — no single-partition global window."""
+        from networkit_spark.plans.ranking import global_row_numbers
 
-        w = Window.orderBy("label")
-        dic = (
-            self.labels.select("label").distinct()
-            .withColumn("component", F.dense_rank().over(w) - 1)
+        dic = global_row_numbers(
+            self.labels.select("label").distinct(), "label", "component"
         )
         return self.labels.join(dic, "label").select("id", "component")
 
@@ -160,3 +162,95 @@ def connected_components(
     return ComponentsResult(
         labels=state.select("id", "label"), iterations=iterations, history=history
     )
+
+
+def _large_star(arcs: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: per node u with m = min(Γ(u) ∪ {u}),
+    emit (v, m) for every neighbor v > u. Input arcs carry BOTH
+    directions; output edges satisfy u > v (strictly larger endpoint
+    first)."""
+    m = arcs.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", F.col("u")).alias("m")
+    )
+    return (
+        arcs.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star on u>v-oriented edges: per node u with
+    m = min of its (all smaller) neighbors, emit (v, m) for every
+    neighbor v plus (u, m). Output stays u>v-oriented."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        edges.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    root = m.select("u", F.col("m").alias("v"))
+    return (
+        moved.unionByName(root)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_twophase(
+    graph: Graph, max_rounds: int = 64
+) -> ComponentsResult:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., SoCC'14 — the MapReduce-native CC): converges in O(log² n)
+    rounds regardless of graph DIAMETER, where hash-min needs
+    O(diameter) supersteps (a 10⁶-hop chain → ~20 rounds vs 10⁶).
+
+    Plan per round: two groupBy-min shuffles + two distinct shuffles on
+    the shrinking edge set (edges contract toward stars, so per-round
+    volume drops geometrically). Convergence = exact edge-set fixed
+    point (count + anti-join, no probabilistic hashing). At the fixed
+    point the edge set is a star per component rooted at its minimum id
+    — the same canonical labels as hash-min (`connected_components`),
+    asserted in tests.
+
+    Reference analog: ParallelConnectedComponents.cpp:65-76 coarsens
+    after 8 iterations — the same contraction idea, made the whole
+    algorithm."""
+    from networkit_spark.plans.iterative import truncate
+
+    und = (
+        graph.symmetrized_edges()
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    edges = truncate(und)
+    n_edges = edges.count()
+
+    rounds = 0
+    history: list[dict] = []
+    while rounds < max_rounds:
+        arcs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        new_edges = truncate(_small_star(_large_star(arcs)))
+        rounds += 1
+        n_new = new_edges.count()
+        changed = n_new != n_edges or (
+            new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        history.append({"iteration": rounds, "edges": int(n_new)})
+        edges.unpersist()  # after the anti-join — the snapshot is consumed
+        edges, n_edges = new_edges, n_new
+        if not changed:
+            break
+
+    labels = (
+        graph.vertices()
+        .join(edges.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")
+        .select("id", F.coalesce("root", F.col("id")).alias("label"))
+    )
+    return ComponentsResult(labels=labels, iterations=rounds, history=history)

@@ -83,3 +83,53 @@ def test_checkpoint_resume(spark, tmp_path):
     # snapshot metadata carries per-partition lineage + iteration metrics
     hist = ck2.history()
     assert hist and all("files" in m for m in hist)
+
+
+# ------------------------------------------------ two-phase (star) variant
+def test_twophase_matches_hashmin_fixtures(spark):
+    from networkit_spark.operators.components import connected_components_twophase
+
+    g = Graph.from_pairs(spark, F1_EDGES, directed=False, n=F1_N)
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components_twophase(g).labels.collect()
+    }
+    assert labels == components_oracle(F1_N, F1_EDGES)
+
+
+def test_twophase_matches_hashmin_er(spark):
+    from networkit_spark.operators.components import connected_components_twophase
+
+    edges = erdos_renyi(80, 0.03, seed=11)
+    g = Graph.from_pairs(spark, edges, directed=False, n=80)
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components_twophase(g).labels.collect()
+    }
+    assert labels == components_oracle(80, edges)
+
+
+def test_twophase_long_chain_log_rounds(spark):
+    """A 512-hop chain: hash-min needs O(diameter) supersteps even with
+    pointer doubling (O(log diameter) there); two-phase must finish in
+    O(log n) rounds — the whole point of the star contraction."""
+    from networkit_spark.operators.components import connected_components_twophase
+
+    n = 513
+    chain = [(i, i + 1) for i in range(n - 1)]
+    g = Graph.from_pairs(spark, chain, directed=False, n=n)
+    res = connected_components_twophase(g)
+    labels = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == n
+    # log2(513) ≈ 9.0; alternating star converges in ~2·log2(n) rounds
+    assert res.iterations <= 22, res.history
+
+
+def test_twophase_directed_and_isolated(spark):
+    from networkit_spark.operators.components import connected_components_twophase
+
+    g = Graph.from_pairs(spark, [(0, 1), (2, 1), (3, 4)], directed=True, n=6)
+    res = connected_components_twophase(g)
+    labels = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
