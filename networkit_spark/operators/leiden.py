@@ -15,8 +15,11 @@ Phases per level:
    neighbor IN THE SAME parent community, taking the best positive
    modularity gain (deterministic ascending node order; the reference
    randomizes). Because every merge follows an incident intra-parent
-   edge and refined communities only ever grow, each refined community
-   is connected by construction — the Leiden property.
+   edge and refined communities only ever grow (a community that has
+   absorbed a merge LOCKS its root in place — only still-singleton
+   nodes move), each refined community is connected by construction —
+   the Leiden property. _connectify additionally enforces the guarantee
+   on the final labels unconditionally.
 3. CONTRACT by the refined partition (operators/coarsening.py) and
    recurse with the parent community of each supernode as the coarse
    level's starting partition (Leiden keeps P as the initial partition
@@ -78,10 +81,15 @@ def _refine_group(pdf: pd.DataFrame, gamma: float, total: float) -> pd.DataFrame
 
     label = {u: u for u in nodes}
     vol_comm = dict(nodes)  # refined-community volume, starts singleton
-    moved: set[int] = set()
+    # A community that has absorbed a merge is LOCKED: its root node may
+    # no longer move away (Leiden only moves nodes that are still
+    # singletons in the refined partition). Without the lock, a root
+    # leaving after absorbing members could strand them in a community
+    # that is no longer internally connected.
+    locked: set[int] = set()
     divisor = 2.0 * total * total
     for u in sorted(nodes):
-        if u in moved:
+        if u in locked or label[u] != u:
             continue
         # affinity to each refined community among intra-parent neighbors
         aff: dict[int, float] = {}
@@ -105,27 +113,61 @@ def _refine_group(pdf: pd.DataFrame, gamma: float, total: float) -> pd.DataFrame
             vol_comm[c] -= vol_u
             vol_comm[best] += vol_u
             label[u] = best
-            moved.add(u)
+            locked.add(best)
     return pd.DataFrame(
         {"id": list(label.keys()), "refined": list(label.values())}
     )
 
 
-def _refine(graph: Graph, labels: DataFrame, gamma: float, total: float) -> DataFrame:
-    """(id, refined) — grouped-map refinement over parent communities."""
+# One refine group (a move-phase parent community's intra-edges) must fit
+# in a single executor's memory for the grouped-map kernel. Parents above
+# this node count are hash-split into sub-parents refined independently —
+# a stricter merge constraint (still a valid Leiden refinement: every
+# merge follows an intra-group edge, so connectivity-by-construction
+# holds; quality can only degrade gracefully on the split giants).
+REFINE_GROUP_CAP = 2_000_000
+
+
+def _refine(
+    graph: Graph,
+    labels: DataFrame,
+    gamma: float,
+    total: float,
+    group_cap: int = REFINE_GROUP_CAP,
+) -> DataFrame:
+    """(id, refined) — grouped-map refinement over parent communities
+    (hash-split above group_cap nodes so one giant move-phase community
+    can't exceed executor memory)."""
     vol_node = _node_volumes(graph)
-    lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("parent"))
-    lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("pv"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("psize"))
+    nl = labels.join(sizes, "label").select(
+        "id",
+        F.col("label").alias("parent"),
+        F.when(F.col("psize") <= group_cap, F.lit(0))
+        .otherwise(
+            F.pmod(
+                F.xxhash64("id"),
+                F.ceil(F.col("psize") / F.lit(group_cap)).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("salt"),
+    )
+    lab_u = nl.select(F.col("id").alias("u"), "parent", F.col("salt").alias("su"))
+    lab_v = nl.select(
+        F.col("id").alias("v"), F.col("parent").alias("pv"), F.col("salt").alias("sv")
+    )
     sym = graph.symmetrized_edges().filter(F.col("src") != F.col("dst"))
     intra = (
         sym.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").alias("w"))
         .join(lab_u, "u")
         .join(lab_v, "v")
-        .filter(F.col("parent") == F.col("pv"))
-        .select("parent", "u", "v", "w")
+        .filter((F.col("parent") == F.col("pv")) & (F.col("su") == F.col("sv")))
+        .select("parent", F.col("su").alias("salt"), "u", "v", "w")
     )
-    markers = labels.select(
-        F.col("label").alias("parent"),
+    markers = nl.select(
+        "parent",
+        "salt",
         F.col("id").alias("u"),
         F.col("id").alias("v"),
         F.lit(0.0).alias("w"),
@@ -137,7 +179,7 @@ def _refine(graph: Graph, labels: DataFrame, gamma: float, total: float) -> Data
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _refine_group(pdf, gamma, total)
 
-    return rows.groupBy("parent").applyInPandas(
+    return rows.groupBy("parent", "salt").applyInPandas(
         apply_fn, schema="id long, refined long"
     )
 
@@ -243,12 +285,13 @@ def _local_leiden(arcs, node_ids, gamma: float, max_iter: int) -> dict[int, int]
     # move phase: reuse the sequential Louvain single level (no recursion)
     parent = _louvain_move_local(adj, vol, total, gamma, max_iter)
 
-    # refine: singletons, merge once, constrained to parent
+    # refine: singletons, merge once, constrained to parent; a community
+    # that absorbed a merge is locked (its root may not move away).
     refined = {u: u for u in adj}
     vol_ref = dict(vol)
-    moved: set[int] = set()
+    locked: set[int] = set()
     for u in sorted(adj):
-        if u in moved:
+        if u in locked or refined[u] != u:
             continue
         aff: dict[int, float] = {}
         for v, w in adj[u].items():
@@ -271,7 +314,7 @@ def _local_leiden(arcs, node_ids, gamma: float, max_iter: int) -> dict[int, int]
             vol_ref[c] -= vol[u]
             vol_ref[best] += vol[u]
             refined[u] = best
-            moved.add(u)
+            locked.add(best)
 
     n_ref = len(set(refined.values()))
     if n_ref == len(adj):
@@ -305,7 +348,8 @@ def _louvain_move_local(adj, vol, total, gamma, max_iter) -> dict[int, int]:
     divisor = 2.0 * total * total
     moved_any = True
     it = 0
-    while moved_any and it <= max_iter:
+    # it < max_iter: same sweep bound as _move_phase and PLM.cpp maxIter.
+    while moved_any and it < max_iter:
         moved_any = False
         for u in sorted(adj):
             c = label[u]

@@ -122,7 +122,7 @@ def _move_phase(
     moves_history: list[int] = []
     idle_sweeps = 0
     sweep = 0
-    while sweep < max_iter and idle_sweeps < 2:
+    while sweep < max_iter and idle_sweeps < 1:
         # affinity(u→C): weight from u to each neighboring community
         nbr_labels = state.select(F.col("id").alias("dst"), F.col("label").alias("nc"))
         aff = (
@@ -166,29 +166,43 @@ def _move_phase(
             )
         )
         w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("nc"))
+        # `improvable` = ungated candidate (rn=1, Δ>0); the xxhash parity
+        # gate only throttles which half MOVES this sweep. Idleness is
+        # judged on the UNGATED set: a sweep where every improvable node
+        # happened to hash odd must not terminate the phase (the
+        # reference converges only when NO node can improve).
         best = (
             cand.withColumn("rn", F.row_number().over(w))
-            .filter(
-                (F.col("rn") == 1)
-                & (F.col("delta") > 0)
-                & (F.pmod(F.xxhash64("id", F.lit(sweep)), 2) == 0)
+            .filter((F.col("rn") == 1) & (F.col("delta") > 0))
+            .withColumn(
+                "gate", F.pmod(F.xxhash64("id", F.lit(sweep)), 2) == 0
             )
-            .select("id", F.col("nc").alias("new_label"))
+            .select("id", F.col("nc").alias("new_label"), "gate")
         )
 
         merged = state.join(best, "id", "left").select(
             "id",
-            F.coalesce("new_label", F.col("label")).alias("label"),
-            F.col("new_label").isNotNull().alias("moved"),
+            F.when(F.col("gate"), F.col("new_label"))
+            .otherwise(F.col("label"))
+            .alias("label"),
+            F.coalesce("gate", F.lit(False)).alias("moved"),
+            F.col("new_label").isNotNull().alias("improvable"),
         )
         merged = truncate(merged, release=state)
-        n_moved = merged.filter("moved").count()
+        counts = merged.agg(
+            F.count_if("moved").alias("nm"), F.count_if("improvable").alias("ni")
+        ).first()
+        n_moved, n_improvable = int(counts["nm"]), int(counts["ni"])
         state = merged.select("id", "label")
-        moves_history.append(int(n_moved))
+        moves_history.append(n_moved)
         if n_moved > 0:
             change = True
+        if n_improvable > 0:
             idle_sweeps = 0
         else:
+            # No node can improve → the state is a local optimum; one
+            # idle sweep is conclusive (the next sweep would recompute
+            # the identical candidate set from the identical state).
             idle_sweeps += 1
         sweep += 1
 
@@ -232,7 +246,9 @@ def _local_louvain(
         moved = True
         it = 0
         order = sorted(adj)
-        while moved and it <= max_iter:
+        # it < max_iter: same sweep bound as the distributed _move_phase
+        # and PLM.cpp's maxIter.
+        while moved and it < max_iter:
             moved = False
             for u in order:
                 c = label[u]
