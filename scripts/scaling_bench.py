@@ -46,11 +46,14 @@ sys.path.insert(0, REPO)
 RMAT_SCALE = int(os.environ.get("SCALE_RMAT", "22"))
 EDGE_FACTOR = int(os.environ.get("SCALE_EDGE_FACTOR", "16"))
 ITERS = 5
-REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
+REPEATS = int(os.environ.get("SCALE_REPEATS", "5"))
 SHUFFLE_PARTITIONS = 32
 LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "1,2,4,8").split(",")]
-N_SMALL = LEVELS[0]
-N_BIG = 4 * N_SMALL
+# The headline pair is PRE-DECLARED (default 1->4), never chosen after
+# the fact: a max-over-measured-pairs headline would cherry-pick the
+# most favorable configuration. All measured N->4N pairs are still
+# reported alongside.
+HEADLINE_N = int(os.environ.get("SCALE_HEADLINE_N", "1"))
 
 WORKER_CONF = {
     # AQE's partition coalescing folds the iterative shuffles below the
@@ -92,25 +95,21 @@ def worker(cores: int, edges_path: str):
     # warmup: exercise the superstep machinery (JVM/codegen), not measured
     pagerank_fixed(g, n_iter=1, distribute_sinks=NO_SINK_HANDLING, prepared=prep)
 
-    # best of REPEATS identical runs: this shared sandbox host shows
-    # multi-minute interference bursts (hypervisor steal) that hit small
-    # pinned slices hardest; min-of-k at EVERY level identically is the
-    # standard way to measure capability rather than neighbor noise.
-    best = None
-    n = 0
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        scores = pagerank_fixed(g, n_iter=ITERS, distribute_sinks=NO_SINK_HANDLING,
-                                checkpoint_every=ITERS, prepared=prep)
-        n = scores.count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    # ONE timed run per worker invocation; the orchestrator interleaves
+    # level order across repeats and takes the per-level MEDIAN, so a
+    # hypervisor-steal burst on this shared sandbox host lands on all
+    # levels with equal probability instead of penalizing whichever
+    # level happened to own the noisy window.
+    t0 = time.perf_counter()
+    scores = pagerank_fixed(g, n_iter=ITERS, distribute_sinks=NO_SINK_HANDLING,
+                            checkpoint_every=ITERS, prepared=prep)
+    n = scores.count()
+    dt = time.perf_counter() - t0
     print(json.dumps({
         "cores": cores, "edges": m, "vertices": n, "iters": ITERS,
-        "wall_sec": round(best, 3),
-        "edges_per_sec": round(ITERS * m / best, 1),
-        "supersteps_per_sec": round(ITERS / best, 4),
-        "repeats": REPEATS,
+        "wall_sec": round(dt, 3),
+        "edges_per_sec": round(ITERS * m / dt, 1),
+        "supersteps_per_sec": round(ITERS / dt, 4),
     }))
     spark.stop()
 
@@ -131,8 +130,8 @@ def orchestrate():
     spark.stop()
 
     have_taskset = shutil.which("taskset") is not None
-    results = {}
-    for cores in LEVELS:
+
+    def run_once(cores: int) -> dict:
         cmd = [sys.executable, __file__, "--worker", str(cores), edges_path]
         if have_taskset:
             # pin to the TOP cores — core 0 services IRQs and host
@@ -141,26 +140,63 @@ def orchestrate():
             cmd = ["taskset", "-c", f"{hi - cores + 1}-{hi}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"cores={cores} (pinned={have_taskset}): {results[cores]}", file=sys.stderr)
+        return json.loads(line)
+
+    # Interleaved repeats: round-robin over the levels REPEATS times
+    # (fresh pinned JVM per run), then per-level MEDIAN. Interleaving +
+    # median is the steal mitigation: interference bursts are multi-
+    # minute, so consecutive same-level runs would share the same noise
+    # window while interleaved runs spread it across levels.
+    # Full repeat count for the pre-declared headline levels; the other
+    # curve levels are context and get 2 repeats (median of 2 = mean).
+    reps_for = {
+        c: REPEATS if c in (HEADLINE_N, 4 * HEADLINE_N) else min(REPEATS, 2)
+        for c in LEVELS
+    }
+    raw: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for rep in range(REPEATS):
+        for cores in LEVELS:
+            if rep >= reps_for[cores]:
+                continue
+            r = run_once(cores)
+            raw[cores].append(r)
+            print(f"rep={rep} cores={cores} (pinned={have_taskset}): {r}",
+                  file=sys.stderr)
+
+    import statistics
+
+    results = {}
+    for cores, runs in raw.items():
+        walls = sorted(r["wall_sec"] for r in runs)
+        med = statistics.median(walls)
+        m = runs[0]["edges"]
+        results[cores] = {
+            "cores": cores,
+            "edges": m,
+            "vertices": runs[0]["vertices"],
+            "iters": ITERS,
+            "wall_sec": round(med, 3),
+            "wall_all": walls,
+            "wall_spread_pct": round(100 * (walls[-1] - walls[0]) / walls[0], 1),
+            "edges_per_sec": round(ITERS * m / med, 1),
+            "supersteps_per_sec": round(ITERS / med, 4),
+            "repeats": len(walls),
+        }
 
     thr = {c: r["edges_per_sec"] for c, r in results.items()}
     effs = {
         f"{n}->{4 * n}": round((thr[4 * n] / thr[n]) / 4, 3)
         for n in LEVELS if 4 * n in thr
     }
-    # headline = the best measured N→4N pair (the criterion names "two
-    # cluster sizes N and 4N" without fixing N; every measured pair is
-    # reported alongside)
-    best_pair = max(effs, key=effs.get) if effs else None
-    headline = effs.get(best_pair) if best_pair else None
+    headline_pair = f"{HEADLINE_N}->{4 * HEADLINE_N}"
+    headline = effs.get(headline_pair)
     summary = {
         "job": f"pagerank_{ITERS}iter_rmat2^{RMAT_SCALE}x{EDGE_FACTOR}",
         "edges": results[LEVELS[0]]["edges"],
         "pinned": have_taskset,
         "levels": results,
         "efficiencies": effs,
-        "headline_pair": best_pair,
+        "headline_pair": headline_pair,
         "scaling_efficiency": headline,
         "criterion": "(thr_4N / thr_N) / 4 >= 0.8",
         "pass": headline is not None and headline >= 0.8,
@@ -168,10 +204,13 @@ def orchestrate():
     print(json.dumps(summary))
 
     rows = "\n".join(
-        f"| {c} | {r['wall_sec']} | {r['edges_per_sec']:,.0f} | {r['supersteps_per_sec']} |"
+        f"| {c} | {r['wall_sec']} | {r['wall_spread_pct']}% | {r['edges_per_sec']:,.0f} | {r['supersteps_per_sec']} |"
         for c, r in sorted(results.items())
     )
-    eff_rows = "\n".join(f"| {k} | {v} |" for k, v in effs.items())
+    eff_rows = "\n".join(
+        f"| {k} | {v} |{' **(headline, pre-declared)**' if k == headline_pair else ''}"
+        for k, v in effs.items()
+    )
     with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
         fh.write(f"""# Scaling evidence (two parallelism levels, same input)
 
@@ -186,26 +225,29 @@ deduped RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR} power-law graph
 networkit_spark.operators.pagerank (join + partial/final agg per superstep,
 deferred lineage truncation every {ITERS} supersteps).
 
-| cores | wall (s) | edges/s | supersteps/s |
-|---|---|---|---|
+| cores | wall median (s) | spread max/min | edges/s | supersteps/s |
+|---|---|---|---|---|
 {rows}
 
 | N -> 4N | efficiency (thr_4N/thr_N)/4 |
 |---|---|
 {eff_rows}
 
-**Headline pair {best_pair}: efficiency = {headline}**
+**Headline pair {headline_pair} (pre-declared, not selected after
+measurement): efficiency = {headline}**
 {'PASS' if summary['pass'] else 'FAIL'} (criterion >= 0.8).
 
-Each level reports the BEST of {REPEATS} identical in-JVM runs, pinned to
-the machine's top cores: this shared sandbox host shows multi-minute
-hypervisor-steal bursts that hit small pinned slices hardest, and
-min-of-k at every level identically measures capability, not neighbor
-noise. The full curve is reported deliberately: beyond ~8 threads this
-single shared-memory host saturates DRAM bandwidth, so core-scaling
-flattens — a property of the sandbox box, not the plan. The per-superstep
-plan is one shuffle hash join plus one partial/final aggregation; on a
-real cluster 4N executors bring 4N x memory + network bandwidth with no
+Methodology: each level is a fresh CPU-pinned JVM; the {REPEATS} repeats
+are INTERLEAVED round-robin across levels and each level reports its
+MEDIAN wall time (spread column = (max-min)/min over the repeats). This
+shared sandbox host shows multi-minute hypervisor-steal bursts —
+interleaving spreads a burst across all levels instead of penalizing
+whichever level owned the noisy window, and the median discards it. The
+full core curve is reported deliberately: beyond ~8 threads this single
+shared-memory host saturates DRAM bandwidth, so core-scaling flattens —
+a property of the sandbox box, not the plan. The per-superstep plan is
+one shuffle hash join plus one partial/final aggregation; on a real
+cluster 4N executors bring 4N x memory + network bandwidth with no
 shared-bus ceiling, which is what the N->4N executor criterion measures.
 
 Reproduce: `python scripts/scaling_bench.py`
