@@ -175,6 +175,33 @@ def main():
     q = emb.filter(F.col("vec_id") < 100)
     timed("knn_top5", lambda: force(brute_force_topk(q, emb, k=5)))
 
+    # Second-scale community benchmark: PLM on a synthetic LFR graph with
+    # planted ground truth; NMI against the planted partition is the
+    # quality signal (generator is hash-based, no IO).
+    from networkit_spark.generators import lfr
+    from networkit_spark.operators.plm import plm
+    from networkit_spark.operators.quality import nmi
+
+    lfr_edges, lfr_truth = lfr(spark, 20000, mu=0.1, seed=42)
+    lfr_edges = lfr_edges.persist()
+    m_lfr = lfr_edges.count()
+    g_lfr = Graph.from_edges(lfr_edges, directed=False)
+
+    def lfr_plm():
+        # max_iter=8: the level-0 move phase is job-overhead-bound at this
+        # size (~5s/sweep regardless of data); 8 sweeps reach NMI 0.931 vs
+        # 0.931 at the default 32 — same quality, 2.5x less wall.
+        labels = plm(g_lfr, max_iter=8).labels.persist()
+        force(labels)
+        extra["lfr_plm_nmi"] = round(
+            nmi(labels, lfr_truth.withColumnRenamed("community", "label")), 4
+        )
+        labels.unpersist()
+
+    timed("lfr_plm", lfr_plm)
+    extra["lfr_edges"] = m_lfr
+    lfr_edges.unpersist()
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -99,3 +99,283 @@ def planted_partition(spark: SparkSession, n: int, k: int, p_intra: float,
         pairs.filter((_h(seed, "src", "dst") % scale) < thresh)
         .withColumn("weight", F.lit(1.0))
     )
+
+
+# --------------------------------------------------------- preferential
+def _uniform01(seed_key: int, *cols) -> F.Column:
+    """Deterministic uniform double in [0, 1)."""
+    scale = 1_000_000_000_000
+    return (_h(seed_key, *cols) % scale) / F.lit(float(scale))
+
+
+def _powerlaw_int(seed_key: int, exponent: float, x_min: int, x_max: int,
+                  *cols) -> F.Column:
+    """Truncated power-law integer draw via inverse-CDF of a continuous
+    Pareto(exponent) on [x_min, x_max+1) (reference distribution:
+    PowerlawDegreeSequence.cpp:80-93 uses the same inverse-transform on
+    the discrete CDF; the continuous relaxation keeps the draw a pure
+    column expression). exponent is the POSITIVE tail exponent (P(x)
+    ~ x^-exponent), must be > 1."""
+    one_minus = 1.0 - exponent
+    lo = float(x_min) ** one_minus
+    hi = float(x_max + 1) ** one_minus
+    u = _uniform01(seed_key, *cols)
+    x = F.pow(F.lit(lo) + u * F.lit(hi - lo), F.lit(1.0 / one_minus))
+    return F.least(F.floor(x).cast("long"), F.lit(int(x_max)))
+
+
+def barabasi_albert(spark: SparkSession, k: int, n_max: int, n0: int = 0,
+                    seed: int = 42) -> DataFrame:
+    """Barabási–Albert preferential attachment, distributed
+    Batagelj–Brandes (reference: BarabasiAlbertGenerator.cpp:83-160
+    'generateParallel' — the same virtual-edge-array formulation).
+
+    The reference materializes the edge array and pointer-chases each
+    draw sequentially per thread. Spark-first re-expression: every draw
+    is an independent hash of its ARRAY POSITION, so the whole array is
+    a DataFrame and unresolved draws (those that land on another draw's
+    slot) resolve by ITERATED POINTER DOUBLING — each round substitutes
+    ptr := target(ptr), chains halve, and the expected chain depth is
+    O(log) whp, so a handful of self-equi-joins resolves everything.
+    No driver-side state; each round is one distributed hash join.
+
+    Deviations from the reference (documented, both vanish as v grows):
+    self-loop draws are dropped (not re-drawn), and a node's k draws are
+    deduplicated (not re-drawn), so degree-of-attachment is ≤ k rather
+    than exactly k. The seed graph is the same n0-node ring
+    (BarabasiAlbertGenerator.cpp:100-106).
+
+    Returns canonical undirected (src < dst, weight 1.0)."""
+    from networkit_spark.plans.iterative import truncate
+
+    if k > n_max:
+        raise ValueError("k may not be larger than n_max")
+    n0 = max(n0, k)
+    if n0 < 2:
+        n0 = 2  # a ring needs two nodes
+
+    S = 2 * n0                      # seed-array length (n0 ring edges)
+    n_new = n_max - n0
+    ring = spark.range(n0).select(
+        F.when(F.col("id") < n0 - 1, F.col("id")).otherwise(F.lit(0)).alias("src"),
+        F.when(F.col("id") < n0 - 1, F.col("id") + 1)
+        .otherwise(F.lit(n0 - 1)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    if n_new <= 0:
+        return ring
+
+    def seed_val(pos: F.Column) -> F.Column:
+        """Value of seed-array position pos (< S): ring edge pos//2."""
+        j = (pos / 2).cast("long")
+        even = pos % 2 == 0
+        return (
+            F.when(even & (j < n0 - 1), j)
+            .when(even, F.lit(0))
+            .when(j < n0 - 1, j + 1)
+            .otherwise(F.lit(n0 - 1))
+        ).cast("long")
+
+    def gen_even_val(q: F.Column) -> F.Column:
+        """Value of generated EVEN offset q (source slot): the attaching
+        node of draw q//2."""
+        return (F.lit(n0) + ((q / 2).cast("long") / k).cast("long")).cast("long")
+
+    # one row per draw i: odd position S+2i+1 draws r uniform over all
+    # strictly-earlier positions [0, S+2i+1) — the virtual edge array IS
+    # the degree-proportional distribution (each node appears once per
+    # incident edge endpoint).
+    draws = spark.range(k * n_new).select(
+        (F.lit(S) + 2 * F.col("id") + 1).alias("pos"),
+        (_h(seed, "id") % (F.lit(S) + 2 * F.col("id") + 1)).alias("r"),
+    )
+    q = F.col("r") - S
+    arr = draws.select(
+        "pos",
+        F.when(F.col("r") < S, seed_val(F.col("r")))
+        .when(q % 2 == 0, gen_even_val(q))
+        .alias("val"),
+        F.when((F.col("r") >= S) & (q % 2 == 1), F.col("r")).alias("ptr"),
+    )
+
+    state = truncate(arr)
+    while state.filter(F.col("ptr").isNotNull()).limit(1).count() > 0:
+        target = state.select(
+            F.col("pos").alias("tpos"),
+            F.col("val").alias("tval"),
+            F.col("ptr").alias("tptr"),
+        )
+        nxt = (
+            state.join(target, state["ptr"] == target["tpos"], "left")
+            .select(
+                "pos",
+                F.coalesce("val", "tval").alias("val"),
+                F.when(F.col("val").isNull() & F.col("tval").isNull(),
+                       F.col("tptr")).alias("ptr"),
+            )
+        )
+        state = truncate(nxt, release=state)
+
+    i = ((F.col("pos") - S - 1) / 2).cast("long")
+    attach = state.select(
+        (F.lit(n0) + (i / k).cast("long")).alias("v"),
+        F.col("val").alias("u"),
+    )
+    new_edges = (
+        attach.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"),
+            F.greatest("u", "v").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    out = ring.unionByName(new_edges)
+    state.unpersist()
+    return out
+
+
+# ----------------------------------------------------------------- LFR
+def _pair_stubs(stubs: DataFrame, part_col: str) -> DataFrame:
+    """Configuration-model pairing: order stubs within each `part_col`
+    group by their random key and join consecutive pairs. One partitioned
+    window — no global sort. Returns (src, dst) with src < dst, self-pair
+    and duplicate edges dropped (LFR rewires; we drop — the expected
+    degree shortfall is O(1/size) per group, stated in lfr())."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy("key", "id", "stub")
+    ranked = stubs.withColumn("rn", F.row_number().over(w))
+    pairs = (
+        ranked.withColumn("pair", ((F.col("rn") - 1) / 2).cast("long"))
+        .groupBy(part_col, "pair")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("id").alias("a"),
+            F.max("id").alias("b"),
+        )
+        .filter((F.col("cnt") == 2) & (F.col("a") != F.col("b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
+    return pairs
+
+
+def lfr(
+    spark: SparkSession,
+    n: int,
+    tau1: float = 2.5,
+    tau2: float = 1.5,
+    mu: float = 0.1,
+    min_degree: int = 8,
+    max_degree: int = 50,
+    min_community: int = 20,
+    max_community: int = 100,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """LFR-style planted-community benchmark graph (reference:
+    LFRGenerator.cpp — power-law degrees tau1, power-law community sizes
+    tau2, mixing parameter mu = fraction of each node's edges that leave
+    its community). Returns (edges, communities): canonical undirected
+    (src, dst, weight) and the planted (id, community) ground truth.
+
+    Spark-first re-expression of the reference's sequential pipeline:
+
+    1. degrees and community sizes are independent hash-draws from the
+       truncated power laws (pure column expressions);
+    2. community membership assigns node ids to consecutive size-ranges
+       (exclusive prefix sums via plans.ranking.global_prefix_sums — no
+       single-partition window), realized as a bounded posexplode
+       (community sizes ≤ max_community) + an equi-join on id;
+    3. edges are realized with a DISTRIBUTED CONFIGURATION MODEL: each
+       node emits round((1-mu)·d) intra stubs keyed to its community and
+       round(mu·d) inter stubs keyed to a hash bucket; stubs pair
+       consecutively in random order within their group (partitioned
+       window). The reference instead edge-switches a sequential
+       realization (LFRGenerator.cpp uses EdgeSwitchingMarkovChain) —
+       inherently serial; consecutive-random-stub pairing samples the
+       same configuration-model family. Self-pairs and duplicate edges
+       are dropped rather than rewired, so realized degree can fall
+       short of the drawn degree by O(1/group-size).
+
+    Determinism: every draw hashes (seed, purpose, id[, stub]); the
+    pairing order key is itself a hash, so output is seed-stable."""
+    from networkit_spark.plans.ranking import global_prefix_sums
+
+    if n < min_community:
+        raise ValueError("n must be at least min_community")
+
+    # -- community sizes, clipped so they sum to exactly n
+    max_k = n // min_community + 1
+    csizes = spark.range(max_k).select(
+        F.col("id").alias("community"),
+        _powerlaw_int(seed + 1, tau2, min_community, max_community,
+                      F.lit("csize"), "id").alias("size"),
+    )
+    csizes = global_prefix_sums(csizes, "community", "size", out_col="cum")
+    csizes = (
+        csizes.withColumn(
+            "size_eff",
+            F.least(F.col("size"), F.lit(n) - F.col("cum")),
+        )
+        .filter(F.col("size_eff") > 0)
+        .select("community", "cum", "size_eff")
+    )
+
+    # -- membership: node id in [cum, cum+size_eff) -> community
+    members = (
+        csizes.withColumn("pos", F.explode(F.sequence(F.lit(0), F.col("size_eff") - 1)))
+        .select("community", "size_eff", (F.col("cum") + F.col("pos")).alias("id"))
+    )
+
+    # degree is a hash of the node id alone, so drawing it directly on the
+    # membership rows (ids are exactly 0..n-1) skips a join
+    nv = members.withColumn(
+        "deg",
+        _powerlaw_int(seed + 2, tau1, min_degree, max_degree,
+                      F.lit("deg"), "id"),
+    ).select(
+        "id",
+        "community",
+        # intra-degree bounded by what the community can host
+        F.least(
+            F.round(F.col("deg") * (1.0 - mu)).cast("long"),
+            F.col("size_eff") - 1,
+        ).alias("d_intra"),
+        F.col("deg"),
+    ).withColumn("d_inter", F.col("deg") - F.col("d_intra"))
+
+    # -- intra edges: configuration model within each community
+    intra_stubs = (
+        nv.filter(F.col("d_intra") > 0)
+        .withColumn("stub", F.explode(F.sequence(F.lit(1), F.col("d_intra"))))
+        .select(
+            "community", "id", "stub",
+            _h(seed + 3, F.lit("is"), "id", "stub").alias("key"),
+        )
+    )
+    intra = _pair_stubs(intra_stubs, "community")
+
+    # -- inter edges: configuration model over hash buckets (a random
+    # uniform bucket assignment makes consecutive-pair-within-bucket
+    # equivalent to consecutive-pair-globally; per-bucket odd leftovers
+    # are dropped — expected loss B/2 stubs out of ~mu*n*avg_deg)
+    n_buckets = max(spark.sparkContext.defaultParallelism * 4, 8)
+    inter_stubs = (
+        nv.filter(F.col("d_inter") > 0)
+        .withColumn("stub", F.explode(F.sequence(F.lit(1), F.col("d_inter"))))
+        .select(
+            "id", "stub",
+            _h(seed + 4, F.lit("ib"), "id", "stub").alias("key"),
+        )
+        .withColumn("bucket", F.col("key") % n_buckets)
+    )
+    inter = _pair_stubs(inter_stubs, "bucket")
+
+    edges = (
+        intra.unionByName(inter)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    communities = nv.select("id", "community")
+    return edges, communities

@@ -114,3 +114,48 @@ def equal_clusterings(graph: Graph, a: DataFrame, b: DataFrame) -> bool:
         (F.col("lau") == F.col("lav")) != (F.col("lbu") == F.col("lbv"))
     ).count()
     return mismatch == 0
+
+
+def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
+    """Normalized mutual information between two clusterings of the same
+    node set (reference: networkit/cpp/community/NMIDistance.cpp — which
+    reports the DISTANCE 1−NMI; this returns NMI itself, arithmetic-mean
+    normalization NMI = 2·I(A;B)/(H(A)+H(B))).
+
+    One shuffle: the joint contingency counts n_ij via groupBy; the
+    marginals re-aggregate from the (≤ |A|·|B|-cell, typically tiny)
+    joint table, and the entropy sums reduce to scalars."""
+    joint = (
+        labels_a.select("id", F.col("label").alias("la"))
+        .join(labels_b.select("id", F.col("label").alias("lb")), "id")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .persist()
+    )
+    n = joint.agg(F.sum("nij")).first()[0]
+    if not n:
+        joint.unpersist()
+        return 0.0
+    na = joint.groupBy("la").agg(F.sum("nij").alias("ni"))
+    nb = joint.groupBy("lb").agg(F.sum("nij").alias("nj"))
+    ha = float(
+        na.agg(-F.sum((F.col("ni") / n) * F.log(F.col("ni") / n))).first()[0]
+    )
+    hb = float(
+        nb.agg(-F.sum((F.col("nj") / n) * F.log(F.col("nj") / n))).first()[0]
+    )
+    mi = float(
+        joint.join(na, "la")
+        .join(nb, "lb")
+        .agg(
+            F.sum(
+                (F.col("nij") / n)
+                * F.log(n * F.col("nij") / (F.col("ni") * F.col("nj")))
+            )
+        )
+        .first()[0]
+    )
+    joint.unpersist()
+    if ha + hb == 0:
+        return 1.0  # both one-clusterings: identical
+    return 2.0 * mi / (ha + hb)

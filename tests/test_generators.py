@@ -46,3 +46,101 @@ def test_rmat_deterministic(spark):
     a = rmat(spark, scale=6, edge_factor=2, seed=7).collect()
     b = rmat(spark, scale=6, edge_factor=2, seed=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------- BA/LFR
+from networkit_spark.generators import barabasi_albert, lfr
+from networkit_spark.operators.quality import nmi
+
+
+def test_ba_deterministic(spark):
+    a = barabasi_albert(spark, k=2, n_max=60, seed=11).collect()
+    b = barabasi_albert(spark, k=2, n_max=60, seed=11).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = barabasi_albert(spark, k=2, n_max=60, seed=12).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_ba_shape_and_connectivity(spark):
+    k, n = 3, 120
+    e = barabasi_albert(spark, k=k, n_max=n, seed=13)
+    rows = e.collect()
+    # canonical orientation, node ids within range, attachment count bound
+    assert all(r.src < r.dst for r in rows)
+    assert max(max(r.src, r.dst) for r in rows) == n - 1
+    assert len(rows) <= k + k * (n - k)
+    # preferential attachment concentrates degree: some hub well over k
+    g = Graph.from_edges(e, directed=False)
+    assert connected_components(g).number_of_components() == 1
+    deg = {}
+    for r in rows:
+        deg[r.src] = deg.get(r.src, 0) + 1
+        deg[r.dst] = deg.get(r.dst, 0) + 1
+    assert max(deg.values()) > 3 * k
+
+
+def test_ba_attaches_to_earlier_nodes(spark):
+    # every non-seed edge connects a new node to a strictly earlier one
+    k, n = 2, 80
+    rows = barabasi_albert(spark, k=k, n_max=n, seed=14).collect()
+    for r in rows:
+        assert r.src < r.dst  # new node is always the larger id
+
+
+def test_lfr_membership_partitions_nodes(spark):
+    edges, comm = lfr(spark, 400, seed=21)
+    ids = [r.id for r in comm.collect()]
+    assert sorted(ids) == list(range(400))
+    sizes = comm.groupBy("community").count().collect()
+    # all but the clipped last community respect the declared bounds
+    in_bounds = [r["count"] for r in sizes if 20 <= r["count"] <= 100]
+    assert len(in_bounds) >= len(sizes) - 1
+
+
+def test_lfr_deterministic_and_degree_bounded(spark):
+    e1, _ = lfr(spark, 300, seed=22)
+    e2, _ = lfr(spark, 300, seed=22)
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+    deg = (
+        e1.select(F.col("src").alias("id"))
+        .unionAll(e1.select(F.col("dst").alias("id")))
+        .groupBy("id").count().agg(F.max("count")).first()[0]
+    )
+    assert deg <= 50  # realized degree never exceeds the drawn power-law cap
+
+
+def test_lfr_mixing_fraction(spark):
+    mu = 0.2
+    edges, comm = lfr(spark, 600, mu=mu, seed=23)
+    cu = comm.select(F.col("id").alias("src"), F.col("community").alias("cu"))
+    cv = comm.select(F.col("id").alias("dst"), F.col("community").alias("cv"))
+    tagged = edges.join(cu, "src").join(cv, "dst")
+    m = tagged.count()
+    inter = tagged.filter(F.col("cu") != F.col("cv")).count()
+    # inter-bucket pairing can still land inside a community by chance,
+    # and dedup/self-pair drops skew both sides: wide tolerance
+    assert 0.4 * mu < inter / m < 2.0 * mu
+
+
+def test_plm_recovers_lfr_communities(spark):
+    from networkit_spark.operators.plm import plm
+
+    edges, truth = lfr(spark, 500, mu=0.05, seed=24)
+    g = Graph.from_edges(edges, directed=False)
+    labels = plm(g).labels
+    score = nmi(labels, truth.withColumnRenamed("community", "label"))
+    assert score > 0.7
+
+
+def test_nmi_identity_permutation_independence(spark):
+    truth = spark.range(200).select(
+        "id", (F.col("id") % 4).alias("label")
+    )
+    assert abs(nmi(truth, truth) - 1.0) < 1e-9
+    permuted = truth.select("id", ((F.col("label") + 1) % 4).alias("label"))
+    assert abs(nmi(truth, permuted) - 1.0) < 1e-9
+    # labels independent of truth -> NMI near 0
+    other = spark.range(200).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("label")
+    )
+    assert nmi(truth, other) < 0.1

@@ -155,3 +155,27 @@ def test_core_decomposition(spark):
     g = Graph.from_pairs(spark, clique + path, directed=False, n=6)
     cores = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
     assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_index_edges_consecutive_and_mirrored(spark):
+    from networkit_spark.graphtools import edge_id, index_edges
+
+    g = Graph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 3), (0, 3)], directed=False, n=4
+    )
+    idx = index_edges(g).collect()
+    ids = sorted({r.eid for r in idx})
+    assert ids == [0, 1, 2, 3]  # consecutive, one id per undirected edge
+    by_pair = {(r.src, r.dst): r.eid for r in idx}
+    assert by_pair[(0, 1)] == by_pair[(1, 0)]  # mirrored orientation
+    assert edge_id(g, 2, 3) == by_pair[(2, 3)]
+    assert edge_id(g, 0, 2) is None
+
+
+def test_index_edges_directed(spark):
+    from networkit_spark.graphtools import index_edges
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 0), (1, 2)], directed=True, n=3)
+    idx = index_edges(g).collect()
+    assert sorted({r.eid for r in idx}) == [0, 1, 2]
+    assert len(idx) == 3  # directed arcs each get their own id
