@@ -83,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": o.bfs_hops_sql(),
         "closeness": o.closeness_sql(),
         "harmonic_closeness": o.harmonic_sql(),
+        "approx_closeness": o.approx_closeness_sql(),
+        "scc_labels": o.scc_sql(),
         "eccentricity": o.eccentricity_sql(),
         "effective_diameter_90": o.effective_diameter_sql(),
         "coarsen_cc": o.coarsen_cc_sql(),

@@ -90,7 +90,24 @@ def multi_source_bfs(
     return visited
 
 
+# Exact all-sources distance state is O(n·m): above this vertex count the
+# caller MUST pass a sampled `sources` set (or use the ANF/estimate
+# variants) — the cutover the 100 TB deployment is expected to make.
+ALL_SOURCES_CUTOVER = 200_000
+
+
 def _all_sources(graph: Graph) -> DataFrame:
+    import warnings
+
+    n = graph.num_vertices()
+    if n > ALL_SOURCES_CUTOVER:
+        warnings.warn(
+            f"exact all-sources distances over {n} vertices is O(n*m) state; "
+            "pass sources= (sampled) or use the approximate variants "
+            "(effective_diameter ANF / estimate_betweenness)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     return graph.vertices().select(F.col("id").alias("s"))
 
 
@@ -433,3 +450,70 @@ def neighborhood_function_approx(
         )
     sym.unpersist()
     return result
+
+
+def approx_closeness(
+    graph: Graph,
+    n_samples: int = 100,
+    normalized: bool = False,
+    seed: int = 42,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, score) — sampled-source closeness estimate for EVERY vertex.
+
+    Reference: ApproxCloseness (cpp/centrality/ApproxCloseness.cpp:29-60)
+    estimates closeness for all nodes from nSamples pivots. The
+    reference's estimator is Cohen et al.'s pivot/annotation scheme
+    (sequential priority-queue machinery); the Spark-first substitute is
+    the classic Eppstein–Wang uniform-sample estimator:
+
+        closeness(v) ≈ 1 / (n/k · Σ_{s∈S} d(s, v))   [×(n−1) if normalized]
+
+    with S a k-sample of vertices — one multi-source BFS (all samples
+    advance together, one superstep per level), one groupBy(v). For
+    directed graphs distances are accumulated on the TRANSPOSED graph so
+    the sum at v is Σ d(v→s), matching outbound closeness
+    (ApproxCloseness OUTBOUND). Vertices reaching no sample score 0 (the
+    reference's unreachable convention). Sampling is hash-deterministic;
+    an explicit `sources(s)` DataFrame overrides it (used by the driver
+    oracle, which needs a SQL-replicable sample).
+    """
+    from networkit_spark.graphtools import transpose
+
+    n = graph.num_vertices()
+    if sources is not None:
+        samples = sources.select(F.col("s").cast("long").alias("s")).distinct()
+        k = samples.count()
+    else:
+        k = min(n_samples, n)
+        # deterministic uniform k-sample: the k smallest xxhash64 values —
+        # a two-phase rank over a 1-column table of n rows
+        from networkit_spark.plans.ranking import global_row_numbers
+
+        hashed = graph.vertices().select(
+            "id", F.xxhash64(F.lit(seed), "id").alias("h")
+        )
+        samples = (
+            global_row_numbers(hashed, "h", out_col="rn")
+            .filter(F.col("rn") < k)
+            .select(F.col("id").alias("s"))
+        )
+
+    bfs_graph = transpose(graph) if graph.directed else graph
+    dists = multi_source_bfs(bfs_graph, samples)
+    sums = dists.groupBy("id").agg(F.sum("dist").cast("double").alias("sum_d"))
+
+    # same score convention as closeness_centrality: unnormalized =
+    # 1/Σd with Σd estimated as (n/k)·(sampled sum); k=n reduces to the
+    # exact standard score. normalized multiplies by (n-1).
+    est = F.when(
+        F.col("sum_d") > 0,
+        1.0 / ((float(n) / k) * F.col("sum_d")),
+    ).otherwise(0.0)
+    if normalized:
+        est = est * (n - 1.0)
+    return (
+        graph.vertices()
+        .join(sums, "id", "left")
+        .select("id", F.round(F.coalesce(est, F.lit(0.0)), 9).alias("score"))
+    )

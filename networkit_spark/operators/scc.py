@@ -16,11 +16,13 @@ standard ColorSCC / FW-BW-style peeling (Orzan'04; Slota et al.):
 
 Output matches Tarjan's PARTITION exactly (SCC structure is unique);
 component ids here = min vertex id per SCC (canonical relabeling, same
-contract as connected_components). Worst case (one long path) peels one
-SCC per round — web graphs have a giant SCC + shallow tail, where this
-converges in a few rounds. Trivial (singleton) SCCs of the current
-remainder are peeled in bulk each round: vertices with no same-remainder
-in- or out-edges.
+contract as connected_components). The coloring priority is a seeded
+HASH of the vertex id, not the id itself, so chain-shaped remainders
+split into Θ(log n) expected color classes per round (random prefix
+maxima) and the long-path worst case peels in O(log n) expected rounds
+rather than one SCC per round (see _prio). Trivial (singleton) SCCs of
+the current remainder are peeled in bulk each round: vertices with no
+same-remainder in- or out-edges.
 """
 
 from __future__ import annotations
@@ -46,11 +48,30 @@ class SCCResult:
         return self.labels.groupBy("label").agg(F.count("*").alias("size"))
 
 
+def _prio(id_col) -> F.Column:
+    """Random-but-deterministic vertex priority for the coloring phase.
+
+    With color = max VERTEX ID of any forward-reaching ancestor, a long
+    path whose ids DESCEND becomes one giant color class and the peel
+    degenerates to one SCC per round (the disclosed pathology). A seeded
+    hash priority makes the color-class roots the PREFIX MAXIMA of a
+    random permutation along any chain — Θ(log n) expected roots per
+    chain — so chains peel in O(log n) expected rounds instead of O(n)
+    (the standard randomized-pivot argument for FW-BW/ColorSCC; Slota et
+    al.'s multi-pivot trick). Correctness is priority-agnostic: any
+    injective priority yields forward-reachability classes whose root's
+    backward same-class reach is exactly the root's SCC."""
+    return F.xxhash64(F.lit("scc-prio"), id_col)
+
+
 def _propagate_max_color(vertices: DataFrame, edges: DataFrame,
                          ckpt: Checkpointer, tag: int) -> DataFrame:
-    """colors(id, color): fixed point of color(v) = max(id(v), color(u) for
-    u→v). Pointer doubling keeps rounds logarithmic."""
-    colors = vertices.select("id", F.col("id").alias("color"))
+    """colors(id, color): color = ID of the max-PRIORITY vertex whose
+    forward reach includes v (fixed point over u→v edges). Pointer
+    doubling keeps rounds logarithmic. Ties cannot occur within a hash
+    value because (prio, id) pairs are lexicographically unique."""
+    start = F.struct(_prio(F.col("id")).alias("p"), F.col("id").alias("cid"))
+    colors = vertices.select("id", start.alias("color"))
     it = 0
     changed = 1
     while changed:
@@ -64,9 +85,12 @@ def _propagate_max_color(vertices: DataFrame, edges: DataFrame,
             .groupBy("id")
             .agg(F.max("color").alias("new_color"))
         )
-        hop = new.select(F.col("id").alias("cid"), F.col("new_color").alias("hop"))
-        new = new.join(hop, new.new_color == hop.cid, "left").select(
-            "id", F.greatest("new_color", F.coalesce("hop", "new_color")).alias("new_color")
+        hop = new.select(
+            F.col("id").alias("cid2"), F.col("new_color").alias("hop")
+        )
+        new = new.join(hop, new["new_color"]["cid"] == hop["cid2"], "left").select(
+            "id",
+            F.greatest("new_color", F.coalesce("hop", "new_color")).alias("new_color"),
         )
         merged = (
             colors.withColumnRenamed("color", "old")
@@ -77,7 +101,8 @@ def _propagate_max_color(vertices: DataFrame, edges: DataFrame,
         snap = ckpt.save(merged, tag * 1000 + it, None)
         changed = snap.filter("changed").limit(1).count()
         colors = snap.select("id", "color")
-    return colors
+    # expose the class id (the root vertex) — downstream only needs it
+    return colors.select("id", F.col("color")["cid"].alias("color"))
 
 
 def strongly_connected_components(graph: Graph, max_rounds: int = 1000) -> SCCResult:

@@ -657,8 +657,14 @@ def _dists_cte(max_depth: int = BFS_MAX_DEPTH) -> str:
     prunes to first-reach rows, so levels past the diameter are empty
     and free. CTEs are MATERIALIZED — each level is referenced by the
     next level, the visited union, and the final result."""
+    return _dists_cte_filtered("TRUE", max_depth)
+
+
+def _dists_cte_filtered(src_filter: str, max_depth: int = BFS_MAX_DEPTH) -> str:
+    """_dists_cte with the BFS source set restricted by `src_filter`
+    (SQL predicate over v.id) — the sampled-source twin."""
     parts = [
-        "f0 AS MATERIALIZED (SELECT id AS s, id AS id FROM v)",
+        f"f0 AS MATERIALIZED (SELECT id AS s, id AS id FROM v WHERE {src_filter})",
         "vis0 AS MATERIALIZED (SELECT s, id FROM f0)",
     ]
     for k in range(1, max_depth + 1):
@@ -925,4 +931,52 @@ aa AS (
 s AS (SELECT u, v, SUM(w) AS score FROM aa GROUP BY u, v)
 SELECT e.u, e.v, ROUND(COALESCE(s.score, 0.0), 6) AS score
 FROM und e LEFT JOIN s ON s.u = e.u AND s.v = e.v
+"""
+
+
+def approx_closeness_sql(modulus: int = 37) -> str:
+    """Sampled-source closeness estimate (ApproxCloseness.cpp:29-60
+    semantics, Eppstein–Wang estimator) with the SQL-replicable sample
+    s ≡ 0 (mod modulus): score(v) = 1/((n/k)·Σ_{s∈S} d(s,v)), 0 when no
+    sample reaches v."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte_filtered(f"id % {modulus} = 0")},
+nk AS (SELECT (SELECT COUNT(*) FROM v) AS n,
+              (SELECT COUNT(*) FROM v WHERE id % {modulus} = 0) AS k),
+sums AS (SELECT id, SUM(dist) AS sum_d FROM dists GROUP BY id)
+SELECT v.id,
+       ROUND(COALESCE(
+         CASE WHEN s.sum_d > 0
+              THEN 1.0 / ((CAST(nk.n AS DOUBLE) / nk.k) * s.sum_d)
+              ELSE 0.0 END, 0.0), 9) AS score
+FROM v LEFT JOIN sums s ON v.id = s.id CROSS JOIN nk
+"""
+
+
+def scc_sql(levels: int = 6) -> str:
+    """SCC labels, label = min vertex id per SCC (the engine's canonical
+    relabeling, operators/scc.py). The SCC partition is UNIQUE, so an
+    exact-match oracle is sound even though the engine's peel order is
+    randomized. Reachability = transitive-closure DOUBLING with identity
+    seeded (r_k = r_{k-1} ∘ r_{k-1} covers paths ≤ 2^k hops; 2^levels =
+    64 far exceeds the derived graph's directed diameter at every test
+    SF); SCC(v) = min over mutually-reaching u."""
+    parts = [
+        "r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+        "UNION SELECT id AS a, id AS b FROM v)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{k - 1} x JOIN r{k - 1} y ON x.b = y.a)"
+        )
+    closure = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{closure},
+mutual AS (
+  SELECT r.a, r.b FROM r{levels} r JOIN r{levels} s ON r.a = s.b AND r.b = s.a
+)
+SELECT b AS id, MIN(a) AS label FROM mutual GROUP BY b
 """

@@ -406,6 +406,28 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_closeness(g).select("id", F.round("score", 9).alias("score"))
 
 
+def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness (ApproxCloseness semantics) with the
+    SQL-replicable sample s ≡ 0 (mod 37) so the DuckDB twin draws the
+    identical pivots."""
+    from networkit_spark.operators.distances import approx_closeness
+
+    g = _undirected_graph(spark, sf_dir)
+    sources = g.vertices().filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("s")
+    )
+    return approx_closeness(g, sources=sources)
+
+
+def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC partition (label = min id per SCC) — unique, hence exactly
+    oracle-able despite the randomized peel order (operators/scc.py)."""
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    g = _directed_graph(spark, sf_dir)
+    return strongly_connected_components(g).labels
+
+
 def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distances import eccentricities
 
@@ -524,6 +546,8 @@ QUERIES.update(
         "bfs_hops": q_bfs_hops,
         "closeness": q_closeness,
         "harmonic_closeness": q_harmonic,
+        "approx_closeness": q_approx_closeness,
+        "scc_labels": q_scc_labels,
         "eccentricity": q_eccentricity,
         "effective_diameter_90": q_effective_diameter,
         "coarsen_cc": q_coarsen_cc,

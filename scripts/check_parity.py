@@ -44,6 +44,18 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # The driver's correctness gate runs at sf0.01, so oracle_sql() pins
+    # side-channel parquet paths (nondeterministic queries hand their own
+    # labels to the property oracle) to the sf0.01 tag. When checking a
+    # DIFFERENT sf dir locally, repoint those paths at this sf's files —
+    # the Spark query writes them before the oracle reads them.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag != "sf0.01":
+        oracles = {
+            name: sql.replace("_sf0.01.parquet", f"_{tag}.parquet")
+            for name, sql in oracles.items()
+        }
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

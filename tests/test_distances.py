@@ -176,3 +176,49 @@ def test_neighborhood_function_approx(spark):
     assert nf1 == nf2
     assert all(b >= a for a, b in zip(nf1, nf1[1:]))
     assert 0.4 * n * n <= nf1[-1] <= 2.5 * n * n
+
+
+def test_approx_closeness_exact_at_full_sample(spark):
+    from networkit_spark.operators.distances import (
+        approx_closeness,
+        closeness_centrality,
+    )
+
+    g = Graph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)], directed=False, n=4
+    )
+    exact = {r.id: r.score for r in closeness_centrality(g).collect()}
+    approx = {r.id: r.score for r in approx_closeness(g, n_samples=4).collect()}
+    for v in exact:
+        assert abs(exact[v] - approx[v]) < 1e-6
+
+
+def test_approx_closeness_sampled_correlates(spark):
+    from networkit_spark.operators.distances import (
+        approx_closeness,
+        closeness_centrality,
+    )
+    from networkit_spark.generators import erdos_renyi
+
+    e = erdos_renyi(spark, 60, 0.15, seed=5)
+    g = Graph.from_edges(e, directed=False)
+    # keep only the giant component's scores comparable: generalized exact
+    exact = {
+        r.id: r.score
+        for r in closeness_centrality(g, variant="generalized").collect()
+    }
+    approx = {r.id: r.score for r in approx_closeness(g, n_samples=20).collect()}
+    # rank correlation on the common support: top-5 exact vertices should
+    # sit in the approx top half
+    top = sorted(exact, key=exact.get, reverse=True)[:5]
+    cutoff = sorted(approx.values(), reverse=True)[len(approx) // 2]
+    assert all(approx.get(v, 0.0) >= cutoff for v in top)
+
+
+def test_approx_closeness_deterministic(spark):
+    from networkit_spark.operators.distances import approx_closeness
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 2), (2, 0)], directed=False, n=3)
+    a = sorted(map(tuple, approx_closeness(g, n_samples=2, seed=9).collect()))
+    b = sorted(map(tuple, approx_closeness(g, n_samples=2, seed=9).collect()))
+    assert a == b

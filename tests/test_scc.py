@@ -98,3 +98,15 @@ def test_scc_random_vs_tarjan(spark):
     res = strongly_connected_components(g)
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     assert got == tarjan_oracle(n, edges)
+
+
+def test_scc_long_descending_path_logarithmic_rounds(spark):
+    # descending-id path DAG: with id-priority coloring this is ONE color
+    # class and peels one SCC per round (O(n)); hash priorities split it
+    # into random prefix-maxima classes -> O(log n) expected rounds.
+    n = 128
+    edges = [(i + 1, i) for i in range(n - 1)]  # n-1 -> ... -> 0
+    g = Graph.from_pairs(spark, edges, directed=True, n=n)
+    res = strongly_connected_components(g)
+    assert res.number_of_components() == n  # all singletons
+    assert res.rounds <= 24  # far below the n/2 ~ 64 degenerate bound
