@@ -296,3 +296,37 @@ class Graph:
             )
             .dropDuplicates(["u", "v"])
         )
+
+    # ----------------------------------------------------------- attributes
+    @property
+    def attributes(self):
+        """Lazy per-instance AttributeStore (reference:
+        Graph.hpp:163-251 attach/get/detach node+edge attributes).
+        Structural mutation helpers return NEW Graph objects that do NOT
+        inherit attributes — the reference likewise ties attribute
+        validity to the graph object it was attached to."""
+        store = getattr(self, "_attr_store", None)
+        if store is None:
+            from networkit_spark.attributes import AttributeStore
+
+            store = AttributeStore()
+            object.__setattr__(self, "_attr_store", store)
+        return store
+
+    def attach_node_attribute(self, name: str, of_type: type):
+        return self.attributes.attach_node(self, name, of_type)
+
+    def get_node_attribute(self, name: str, of_type: type):
+        return self.attributes.get_node(name, of_type)
+
+    def detach_node_attribute(self, name: str) -> None:
+        self.attributes.detach_node(name)
+
+    def attach_edge_attribute(self, name: str, of_type: type):
+        return self.attributes.attach_edge(self, name, of_type)
+
+    def get_edge_attribute(self, name: str, of_type: type):
+        return self.attributes.get_edge(name, of_type)
+
+    def detach_edge_attribute(self, name: str) -> None:
+        self.attributes.detach_edge(name)

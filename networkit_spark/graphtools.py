@@ -165,3 +165,46 @@ def random_node(graph: Graph, seed: int = 42) -> int:
     """Seeded uniform random node (GraphTools.hpp:55) — test utility."""
     row = graph.vertices().orderBy(F.xxhash64(F.col("id"), F.lit(seed))).first()
     return int(row["id"])
+
+
+def index_edges(graph: Graph) -> DataFrame:
+    """(src, dst, eid) — consecutive 0-based edge ids for every stored
+    edge (undirected edges get ONE id, mirrored to both orientations).
+
+    Reference: Graph::indexEdges (graph/Graph.cpp) assigns ids in
+    adjacency order — an artifact of the CSR layout; the contract
+    callers rely on is only CONSECUTIVE + STABLE. The Spark-first
+    substitute ranks the canonical edge set by xxhash64(src, dst) with
+    the two-phase global ranking plan (plans/ranking.py — no
+    single-partition window). Deterministic for a given edge set; the
+    hash order is documented as the assignment order.
+    """
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    if graph.directed:
+        canon = graph.edges.select("src", "dst")
+    else:
+        canon = graph.simple_undirected_edges().select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        )
+    keyed = canon.withColumn("h", F.xxhash64("src", "dst"))
+    ranked = global_row_numbers(keyed, "h", out_col="eid").select(
+        "src", "dst", "eid"
+    )
+    if not graph.directed:
+        ranked = ranked.unionByName(
+            ranked.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "eid"
+            )
+        )
+    return ranked
+
+
+def edge_id(graph: Graph, u: int, v: int) -> int | None:
+    """edgeId(u, v) (Graph.hpp edgeId) — None when absent."""
+    row = (
+        index_edges(graph)
+        .filter((F.col("src") == u) & (F.col("dst") == v))
+        .first()
+    )
+    return int(row["eid"]) if row else None

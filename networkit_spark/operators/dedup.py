@@ -86,16 +86,57 @@ def lsh_buckets(sigs: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND) -> Data
 
 
 def lsh_candidate_pairs(docs: DataFrame, n: int = 3, seeds: int = MINHASH_SEEDS,
-                        rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+                        rows_per_band: int = LSH_ROWS_PER_BAND,
+                        max_bucket: int = 4096) -> DataFrame:
     """(doc_a, doc_b) distinct candidate near-dup pairs (a < b) — docs
-    sharing at least one LSH band bucket."""
+    sharing at least one LSH band bucket.
+
+    Hot-bucket cap (the boilerplate guard): a bucket of B near-identical
+    docs — cookie banners, templated pages — would emit B² pairs and
+    quadratic-blow one join task. Buckets wider than `max_bucket` are
+    salted into ⌈B/max_bucket⌉ sub-buckets (all-pairs only within each),
+    and the per-sub-bucket representatives (min doc_id) are starred to
+    the bucket representative so the boilerplate cluster stays
+    TRANSITIVELY connected for downstream dedup grouping. Under the cap
+    the output is byte-identical to the uncapped join; over it, distant
+    member pairs are traded for the star spine — linear, not quadratic,
+    output per hot bucket."""
     b = lsh_buckets(minhash_signatures(docs, n, seeds), rows_per_band)
-    left = b.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = b.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cnt = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("width"))
+    b = b.join(cnt, ["band", "bucket"])
+
+    def _pairs(members: DataFrame, keys: list[str]) -> DataFrame:
+        left = members.select(F.col("doc_id").alias("doc_a"), *keys)
+        right = members.select(F.col("doc_id").alias("doc_b"), *keys)
+        return (
+            left.join(right, keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    cold = _pairs(b.filter(F.col("width") <= max_bucket), ["band", "bucket"])
+
+    hot = b.filter(F.col("width") > max_bucket).withColumn(
+        "sub",
+        F.pmod(
+            F.xxhash64("doc_id"),
+            F.ceil(F.col("width") / max_bucket).cast("long"),
+        ),
+    )
+    hot_pairs = _pairs(hot, ["band", "bucket", "sub"])
+    reps = hot.groupBy("band", "bucket", "sub").agg(F.min("doc_id").alias("rep"))
+    rep0 = reps.groupBy("band", "bucket").agg(F.min("rep").alias("rep0"))
+    spine = (
+        reps.join(rep0, ["band", "bucket"])
+        .filter(F.col("rep") != F.col("rep0"))
+        .select(
+            F.least("rep0", "rep").alias("doc_a"),
+            F.greatest("rep0", "rep").alias("doc_b"),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        cold.unionByName(hot_pairs)
+        .unionByName(spine)
         .dropDuplicates(["doc_a", "doc_b"])
     )
 

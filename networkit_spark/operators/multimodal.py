@@ -83,6 +83,40 @@ def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+def pil_decode(payload: bytes) -> np.ndarray:
+    """Real image decode: mean RGB + normalized size features via PIL,
+    padded/truncated to FEATURE_DIM. Import-guarded — PIL is optional in
+    this container; deployments with Pillow installed get true pixel
+    features, others raise with a clear message (use _fake_decode / a
+    custom decode_fn instead)."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError as exc:  # pragma: no cover - container lacks PIL
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; pass decode_fn="
+            "None for the deterministic fake or supply a custom decoder"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    feats = np.concatenate(
+        [arr.mean(axis=(0, 1)), [img.width / 4096.0, img.height / 4096.0]]
+    )
+    out = np.zeros(FEATURE_DIM)
+    out[: min(FEATURE_DIM, feats.size)] = feats[:FEATURE_DIM]
+    return out
+
+
+def have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_stub(media: DataFrame) -> DataFrame:
     """Explicit NotImplementedError boundary for real decoding in this
     container — call sites that need true pixels/samples fail loudly."""

@@ -77,6 +77,33 @@ def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
                           directed=directed)
 
 
+def read_konect(spark: SparkSession, path: str,
+                directed: bool | None = None) -> Graph:
+    """KONECTGraphReader semantics (cpp/io/KONECTGraphReader.cpp:22-150):
+    the first '%' property line declares the format — 'sym'/'bip' →
+    undirected, 'asym' → directed (bip imported as plain undirected with
+    the reference's own caveat); remaining '%' lines are comments; data
+    rows are whitespace (u, v[, weight]). Node ids are kept verbatim
+    (remapNodes=false default); pass the result through
+    graphtools.compact_graph for 0-based continuous ids."""
+    if directed is None:
+        directed = True  # reference default before the property line
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("%"):
+                    toks = line.lstrip("%").split()
+                    if toks and toks[0] in ("sym", "bip"):
+                        directed = False
+                    elif toks and toks[0] == "asym":
+                        directed = True
+                break  # only the FIRST line carries the format
+    return read_edge_list(spark, path, separator=r"\s+", comment_prefix="%",
+                          directed=directed)
+
+
 def read_metis(spark: SparkSession, path: str) -> Graph:
     """METISGraphReader: header 'n m [fmt]'; line i (1-based) lists the
     neighbors of node i-1 (1-based ids). Distributed: zip line numbers via

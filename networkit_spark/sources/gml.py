@@ -123,15 +123,22 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
         read_snap,
     )
 
+    from networkit_spark.sources.graphml import read_graphml
+
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gml":
         return read_gml(spark, path)
+    if ext == ".graphml":
+        return read_graphml(spark, path)
     if ext in (".graph", ".metis"):
         return read_metis(spark, path)
 
     with open(path, encoding="utf-8", errors="replace") as fh:
         head = [line for line in (fh.readline() for _ in range(50)) if line]
     stripped = [ln.strip() for ln in head if ln.strip()]
+    if any(ln.startswith("<graphml") for ln in stripped[:5]):
+        # reference sniff: XML base element <graphml (graphio.pyx:1180)
+        return read_graphml(spark, path)
     if any(ln.startswith("graph") and "[" in ln for ln in stripped[:5]):
         return read_gml(spark, path)
     first_real = next((ln for ln in stripped if not ln.startswith(("%", "#"))), "")

@@ -134,10 +134,16 @@ def orchestrate():
     def run_once(cores: int) -> dict:
         cmd = [sys.executable, __file__, "--worker", str(cores), edges_path]
         if have_taskset:
-            # pin to the TOP cores — core 0 services IRQs and host
-            # housekeeping, which distorts small pinned slices most
-            hi = (os.cpu_count() or 32) - 1
-            cmd = ["taskset", "-c", f"{hi - cores + 1}-{hi}"] + cmd
+            # pin to LOW cores starting at SCALE_PIN_BASE (default 2:
+            # skip core 0-1 IRQ/housekeeping). Measured on this host:
+            # the TOP core range (24-31) is backed by heavily-stolen
+            # host CPUs — the identical 8-core worker ran 306-315s
+            # pinned 24-31 vs 47.6s pinned 4-11 (2026-08-17), so
+            # top-core pinning silently measured neighbor steal, not
+            # the plan. Base is configurable for hosts with different
+            # asymmetry.
+            base = int(os.environ.get("SCALE_PIN_BASE", "2"))
+            cmd = ["taskset", "-c", f"{base}-{base + cores - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)

@@ -116,3 +116,39 @@ def test_fingerprints(docs):
     assert fp[0] == fp[1]          # identical docs, identical fingerprint
     assert fp[0] != fp[3]
     assert len(fp[5]) == 32        # short doc falls back to whole-text md5
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # degenerate corpus: 60 byte-identical docs land in ONE bucket per
+    # band; with max_bucket=8 the all-pairs blowup (60*59/2 per band)
+    # must collapse to within-sub-bucket pairs + the rep star spine,
+    # while keeping the whole cluster transitively connected.
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate cookie banner text repeated verbatim").alias("text"),
+    )
+    pairs = lsh_candidate_pairs(docs, max_bucket=8)
+    n_pairs = pairs.count()
+    assert n_pairs < 60 * 59 // 2  # strictly sub-quadratic
+    # transitive connectivity: union-find over the emitted pairs reaches
+    # every doc from doc 0
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(60)}) == 1
+
+
+def test_lsh_cap_noop_below_threshold(docs):
+    # under the cap the capped operator is byte-identical to uncapped
+    a = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+    b = sorted(map(tuple, lsh_candidate_pairs(docs, max_bucket=10**9).collect()))
+    assert a == b

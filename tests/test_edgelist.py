@@ -81,3 +81,22 @@ def test_partition_roundtrip(spark, tmp_path):
     write_partition(labels, out)
     back = read_partition(spark, out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in labels.collect()}
+
+
+def test_konect_sym_and_asym(spark, tmp_path):
+    from networkit_spark.sources.edgelist import read_konect
+
+    p_sym = str(tmp_path / "k_sym.tsv")
+    with open(p_sym, "w") as fh:
+        fh.write("% sym unweighted\n% 3 3\n1 2\n2 3\n1 3\n")
+    g = read_konect(spark, p_sym)
+    assert not g.directed
+    assert g.num_edges() == 3
+
+    p_asym = str(tmp_path / "k_asym.tsv")
+    with open(p_asym, "w") as fh:
+        fh.write("% asym positive\n1 2 2.5\n2 1 1.0\n")
+    g2 = read_konect(spark, p_asym)
+    assert g2.directed and g2.weighted
+    w = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    assert w == {(1, 2): 2.5, (2, 1): 1.0}

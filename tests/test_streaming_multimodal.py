@@ -145,3 +145,30 @@ def test_incremental_cc_deletion_no_split_and_mixed_batch(spark):
     labels = {r["id"]: r["label"] for r in icc.labels.collect()}
     # cycle edge removal leaves 0-2-1 connected; 3 hangs off 0
     assert labels == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_pil_decode_optional(spark):
+    # real codec path runs when Pillow exists; otherwise raises the
+    # documented NotImplementedError (the guard, not an ImportError leak)
+    from networkit_spark.operators.multimodal import have_pil, pil_decode
+
+    if have_pil():
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 4), (255, 0, 0)).save(buf, format="PNG")
+        feats = pil_decode(buf.getvalue())
+        assert len(feats) == 8
+        assert abs(feats[0] - 1.0) < 1e-9  # pure red mean R channel
+        media = synthetic_media(spark, 6).filter("kind = 'image'").withColumn(
+            "payload", F.lit(buf.getvalue())
+        )
+        out = extract_features(media, decode_fn=pil_decode).collect()
+        assert all(abs(r.features[0] - 1.0) < 1e-9 for r in out)
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            pil_decode(b"\x89PNG fake")
