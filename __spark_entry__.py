@@ -92,6 +92,15 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": o.degree_assortativity_sql(),
         "nominal_assortativity_mod7": o.nominal_assortativity_sql(),
         "adamic_adar": o.adamic_adar_sql(),
+        "jaccard_scores": o.jaccard_scores_sql(),
+        "cc_labels_twophase": o.cc_converged_sql(),
+        "katz_3iter": o.katz_sql(),
+        "simhash_near_dups": o.simhash_near_dups_sql(),
+        # Tie-broken matching: side-channel property oracle (validity,
+        # edge realness, maximality, size) — see matching_summary_sql.
+        "matching_summary": o.matching_summary_sql(
+            _side_channel("matching_summary")
+        ),
         # Convergence-mode queries: RECURSIVE-CTE twins — DuckDB iterates
         # the same superstep to the same stopping rule, so the (data-
         # dependent) iteration count is discovered independently by both

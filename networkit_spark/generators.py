@@ -379,3 +379,119 @@ def lfr(
     )
     communities = nv.select("id", "community")
     return edges, communities
+
+
+# ----------------------------------------------------------- hyperbolic
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    gamma: float = 3.0,
+    seed: int = 42,
+    core_frac: float = 0.6,
+) -> DataFrame:
+    """Threshold random hyperbolic graph (reference:
+    cpp/generators/HyperbolicGenerator.cpp, T=0 threshold mode): n points
+    on the hyperbolic disk of radius R, angle uniform, radius with
+    density alpha·sinh(alpha·r)/(cosh(alpha·R)-1) for
+    alpha=(gamma-1)/2, edge iff hyperbolic distance
+    cosh d = cosh r_u cosh r_v − sinh r_u sinh r_v cos(Δθ) ≤ cosh R.
+    Power-law degree exponent gamma falls out of the geometry.
+
+    Deviations (documented): the reference binary-searches
+    HyperbolicSpace::getTargetRadius to hit avgDegree exactly; this uses
+    the standard closed form R = 2·ln(8n / (π·avg_degree)) (exact for
+    gamma=3, approximate otherwise — realized degree is asserted within
+    a factor in tests, not to a decimal).
+
+    Scale design — COMPLETE two-zone candidate blocking, exact filter:
+    - zone split at tau = core_frac·R: P(r < tau) ≈ e^{alpha(tau−R)} is
+      exponentially small, so the CORE (hub) set is tiny; it broadcast-
+      joins against everyone (hubs connect broadly — no angular bound
+      exists for them).
+    - PERIPHERY pairs (both r ≥ tau) can only connect within
+      Δθ ≤ θ_max(tau, tau) (the angular reach is monotone DECREASING in
+      both radii, so the tau-tau bound dominates every periphery pair):
+      cos θ_max = (cosh²tau − cosh R) / sinh²tau. Points land in
+      ⌈2π/θ_max⌉ angular buckets; candidates = same-bucket ∪
+      adjacent-bucket pairs (wrap-around included). Every candidate then
+      passes the EXACT distance predicate, so blocking affects cost,
+      never membership.
+    The reference's refinement of the same idea is log-radial BANDS with
+    per-band angular windows (von Looz et al., the generator's citation)
+    — the two-zone split is the first band of that hierarchy and keeps
+    the whole realization three DataFrame joins.
+
+    Returns canonical undirected (src, dst, weight=1.0)."""
+    import math
+
+    if gamma <= 2.0:
+        raise ValueError("gamma must be > 2 (finite mean degree)")
+    alpha = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    tau = core_frac * R
+    cosh_r = math.cosh(R)
+    # periphery angular reach bound at (tau, tau)
+    ct = (math.cosh(tau) ** 2 - cosh_r) / (math.sinh(tau) ** 2)
+    theta_max = math.pi if ct <= -1.0 else (0.0 if ct >= 1.0 else math.acos(ct))
+    n_buckets = max(int(2.0 * math.pi / theta_max) if theta_max > 0 else 1, 1)
+
+    scale = 1_000_000_000_000
+    u_theta = (_h(seed, F.lit("th"), "id") % scale) / float(scale)
+    u_r = (_h(seed, F.lit("r"), "id") % scale) / float(scale)
+    # inverse CDF of the radial density: r = acosh(1 + u(cosh(aR)-1))/a
+    pts = spark.range(n).select(
+        F.col("id"),
+        (u_theta * (2.0 * math.pi)).alias("theta"),
+        (
+            F.acosh(1.0 + u_r * (math.cosh(alpha * R) - 1.0)) / alpha
+        ).alias("r"),
+    ).select(
+        "id", "theta", "r",
+        F.cosh("r").alias("chr"), F.sinh("r").alias("shr"),
+        F.floor(F.col("theta") / (2.0 * math.pi / n_buckets))
+        .cast("long").alias("bucket"),
+    )
+
+    # self-join disambiguation by column RENAME (Spark cannot resolve
+    # alias-qualified refs when both sides share one cached plan)
+    def _side(df: DataFrame, p: str) -> DataFrame:
+        return df.select(*(F.col(c).alias(p + c) for c in df.columns))
+
+    def _edges(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        pair = a.join(b, cond)
+        dist_ok = (
+            F.col("achr") * F.col("bchr")
+            - F.col("ashr") * F.col("bshr")
+            * F.cos(F.col("atheta") - F.col("btheta"))
+        ) <= cosh_r
+        return pair.filter(dist_ok).select(
+            F.col("aid").alias("src"), F.col("bid").alias("dst")
+        )
+
+    core = pts.filter(F.col("r") < tau)
+    peri = pts.filter(F.col("r") >= tau)
+
+    # core side joins EVERY point (id-order-agnostic: a core hub must
+    # pair with all ids, larger or smaller; canonicalization happens in
+    # the final least/greatest + distinct)
+    a = _side(pts, "a")
+    core_b = _side(core, "b")
+    core_pairs = _edges(a, core_b, F.col("aid") != F.col("bid"))
+    pa, pb = _side(peri, "a"), _side(peri, "b")
+    near = (
+        (F.col("abucket") == F.col("bbucket"))
+        | (F.pmod(F.col("abucket") + 1, F.lit(n_buckets)) == F.col("bbucket"))
+        | (F.pmod(F.col("bbucket") + 1, F.lit(n_buckets)) == F.col("abucket"))
+    )
+    peri_pairs = _edges(pa, pb, near & (F.col("aid") < F.col("bid")))
+
+    return (
+        core_pairs.unionByName(peri_pairs)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )

@@ -32,6 +32,8 @@ and raises)."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -199,3 +201,112 @@ def estimate_betweenness(
 
 def _all_sources(graph: Graph) -> DataFrame:
     return graph.vertices().select(F.col("id").alias("s"))
+
+
+@dataclass
+class AdaptiveBetweennessResult:
+    scores: DataFrame          # (id, score)
+    n_samples: int             # pivots actually consumed
+    rounds: int                # batches run
+    history: list              # per-round {'round', 'samples', 'delta'}
+
+
+def adaptive_betweenness(
+    graph: Graph,
+    err: float = 0.005,
+    batch_size: int = 16,
+    max_samples: int = 256,
+    normalized: bool = False,
+    seed: int = 42,
+) -> AdaptiveBetweennessResult:
+    """KADABRA-analog adaptive sampled betweenness (reference:
+    cpp/centrality/KadabraBetweenness.cpp — progressive sampling that
+    stops once the estimates are provably within epsilon).
+
+    The reference samples single shortest paths and maintains per-node
+    Rademacher confidence bounds — inherently sequential bookkeeping.
+    The Spark-first substitute keeps the reference's CONTRACT (sample
+    adaptively, stop when scores have stabilized to `err`) on top of the
+    engine's scalable kernel: pivots are consumed in deterministic
+    batches (next `batch_size` vertices by xxhash64(id, seed) order,
+    sampling without replacement); each batch is ONE multi-source
+    Brandes pass (operators/betweenness._dependency_scores, the same
+    linear-scaling estimator as EstimateBetweenness.cpp:26-115); after
+    each batch the cumulative estimate is re-scaled by 2n/samples and
+    the run stops when the batch-over-batch L∞ change of the NORMALIZED
+    estimate (score / ((n-1)(n-2)), the [0,1] scale) drops below `err`,
+    or at `max_samples`. Empirical-stability stopping instead of
+    Rademacher bounds is the documented deviation; the estimator itself
+    is unchanged.
+
+    Each round costs one BFS-depth set of supersteps over the active
+    frontier — at 100 TB the batch is the unit of incremental spend, and
+    the stop rule converts "how many pivots does THIS graph need" from a
+    guess into a measurement."""
+    if graph.weighted:
+        raise ValueError("weighted betweenness (Dijkstra) not supported; "
+                         "use an unweighted graph")
+    n = graph.num_vertices()
+    pairs = float(max((n - 1) * (n - 2), 1))
+    ordered = (
+        graph.vertices()
+        .orderBy(F.xxhash64("id", F.lit(seed)), F.asc("id"))
+        .limit(max_samples)
+        .select(F.col("id").alias("s"))
+        .collect()
+    )
+    raw_cum: DataFrame | None = None
+    prev_est: DataFrame | None = None
+    history: list[dict] = []
+    used = 0
+    rounds = 0
+    while used < len(ordered):
+        batch = [r["s"] for r in ordered[used: used + batch_size]]
+        used += len(batch)
+        rounds += 1
+        srcs = graph.edges.sparkSession.createDataFrame(
+            [(s,) for s in batch], "s long"
+        )
+        raw = _dependency_scores(graph, srcs, distance_weighted=True)
+        if raw_cum is None:
+            raw_cum = truncate(raw)
+        else:
+            merged = (
+                raw_cum.withColumnRenamed("score", "a")
+                .join(raw.withColumnRenamed("score", "b"), "id", "outer")
+                .select(
+                    "id",
+                    (F.coalesce("a", F.lit(0.0)) + F.coalesce("b", F.lit(0.0))).alias("score"),
+                )
+            )
+            raw_cum = truncate(merged, release=raw_cum)
+        est = raw_cum.select(
+            "id", (F.col("score") * (2.0 * n / used) / pairs).alias("est")
+        )
+        if prev_est is not None:
+            delta = (
+                est.join(prev_est.withColumnRenamed("est", "old"), "id", "outer")
+                .agg(
+                    F.max(
+                        F.abs(
+                            F.coalesce("est", F.lit(0.0)) - F.coalesce("old", F.lit(0.0))
+                        )
+                    )
+                )
+                .first()[0]
+                or 0.0
+            )
+            history.append({"round": rounds, "samples": used, "delta": float(delta)})
+            if delta <= err:
+                prev_est = est
+                break
+        prev_est = est
+    scale = 1.0 if normalized else pairs
+    scores = (
+        graph.vertices()
+        .join(prev_est, "id", "left")
+        .select("id", (F.coalesce("est", F.lit(0.0)) * scale).alias("score"))
+    )
+    return AdaptiveBetweennessResult(
+        scores=scores, n_samples=used, rounds=rounds, history=history
+    )

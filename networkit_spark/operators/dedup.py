@@ -211,3 +211,66 @@ def simhash(docs: DataFrame, dims: int = 16) -> DataFrame:
             "",
         ).alias("simhash")
     )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    dims: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — document pairs whose SimHash fingerprints
+    differ in at most `max_hamming` bits (a < b).
+
+    Scale design (the standard Manku/Jarvelin web-dedup trick): split the
+    fingerprint into `n_bands` contiguous bands; any two fingerprints
+    within Hamming distance < n_bands must agree on at least one FULL
+    band (pigeonhole), so the candidate set is n_bands equi-joins on
+    (band index, band bits) — never an all-pairs product. Candidates are
+    then verified exactly with one XOR + popcount on the fingerprints
+    (bit_count is whole-stage-codegen'd). Completeness requires
+    max_hamming < n_bands, asserted below.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banding is only complete for max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if dims % n_bands != 0:
+        raise ValueError("n_bands must divide dims evenly")
+    width = dims // n_bands
+
+    sh = simhash(docs, dims).withColumn(
+        "sig", F.conv("simhash", 2, 10).cast("long")
+    )
+    banded = None
+    for i in range(n_bands):
+        part = sh.select(
+            "doc_id",
+            "sig",
+            F.lit(i).alias("band"),
+            F.substring("simhash", i * width + 1, width).alias("key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band", "key",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band", "key",
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -480,16 +480,45 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
-def simhash_sql(dims: int = 16) -> str:
-    return f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+def _simhash_cte(dims: int = 16) -> str:
+    """CTE chain ending in sh(doc_id, simhash) — shared by simhash_sql
+    and simhash_near_dups_sql."""
+    return f"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
 dims AS (SELECT * FROM (VALUES {_seeds_values(dims)}) d(dim)),
 bits AS (SELECT doc_id, dim,
     CASE WHEN SUM(strpos('0123456789abcdef', substr(h, dim + 1, 1)) - 1 - 7.5) > 0
          THEN '1' ELSE '0' END AS bit
-  FROM hs CROSS JOIN dims GROUP BY doc_id, dim)
-SELECT doc_id, string_agg(bit, '' ORDER BY dim) AS simhash FROM bits GROUP BY doc_id
+  FROM hs CROSS JOIN dims GROUP BY doc_id, dim),
+sh AS (SELECT doc_id, string_agg(bit, '' ORDER BY dim) AS simhash FROM bits GROUP BY doc_id)""".strip()
+
+
+def simhash_sql(dims: int = 16) -> str:
+    return f"""
+WITH {_simhash_cte(dims)}
+SELECT doc_id, simhash FROM sh
+"""
+
+
+def simhash_near_dups_sql(dims: int = 16, max_hamming: int = 3) -> str:
+    """All-pairs exact Hamming filter — the oracle twin of the engine's
+    banded-blocking + XOR/popcount verify (operators/dedup.py::
+    simhash_near_duplicates). Banding with max_hamming < n_bands is
+    lossless (pigeonhole), so the bucket-joined result must equal this
+    quadratic reference exactly; the oracle runs at sf scale where n² is
+    trivial for DuckDB."""
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(dims)
+    )
+    return f"""
+WITH {_simhash_cte(dims)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({ham}) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
@@ -979,4 +1008,101 @@ mutual AS (
   SELECT r.a, r.b FROM r{levels} r JOIN r{levels} s ON r.a = s.b AND r.b = s.a
 )
 SELECT b AS id, MIN(a) AS label FROM mutual GROUP BY b
+"""
+
+
+def jaccard_scores_sql() -> str:
+    """Per-edge neighborhood Jaccard (JaccardDistance.cpp:38-40 family):
+    score = common / (deg_u + deg_v - common), common = per-edge triangle
+    count (each triangle through edge {u,v} is one shared neighbor)."""
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+sides AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+),
+cnt AS (SELECT u, v, COUNT(*) AS c FROM sides GROUP BY u, v)
+SELECT e.u, e.v,
+       ROUND(CAST(COALESCE(cnt.c, 0) AS DOUBLE)
+             / (du.degree + dv.degree - COALESCE(cnt.c, 0)), 6) AS score
+FROM und e
+JOIN deg du ON du.id = e.u
+JOIN deg dv ON dv.id = e.v
+LEFT JOIN cnt ON cnt.u = e.u AND cnt.v = e.v
+"""
+
+
+def katz_sql(iters: int = 3, alpha: float = 5e-4, beta: float = 0.1) -> str:
+    """Katz centrality unrolled to a fixed superstep count
+    (KatzCentrality.cpp iteration x' = alpha * gather_in(x) + beta from
+    x = 0, then L2 normalization). Directed in-edge gather, weight 1."""
+    parts = [f"x1 AS (SELECT id, {beta} AS score FROM v)"]
+    for k in range(2, iters + 1):
+        parts.append(
+            f"""x{k} AS (SELECT v.id,
+    {alpha} * COALESCE(g.s, 0.0) + {beta} AS score
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.score * e.weight) AS s
+    FROM edges e JOIN x{k - 1} x ON x.id = e.src GROUP BY e.dst
+  ) g ON g.id = v.id)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain},
+nrm AS (SELECT SQRT(SUM(score * score)) AS nn FROM x{iters})
+SELECT id, ROUND(score / (SELECT nn FROM nrm), 9) AS score FROM x{iters}
+"""
+
+
+def matching_summary_sql(matching_parquet: str) -> str:
+    """Property oracle for local-max matching (LocalMaxMatcher.cpp
+    contract, Matching::isProper): the Spark query materializes its
+    matched edges to a side-channel parquet; both engines independently
+    verify FROM that copy that (1) it is a matching — every vertex at
+    most once, (2) every matched pair is a real edge, (3) it is MAXIMAL —
+    no remaining edge has both endpoints free (the 1/2-approximation
+    guarantee rests on maximality). Tie-broken matchings differ in
+    membership but never in these properties; n_matched pins the size."""
+    return f"""
+WITH {EDGES_CTE},
+m AS (SELECT u, v FROM read_parquet('{matching_parquet}/*.parquet')),
+nodes AS (SELECT u AS id FROM m UNION ALL SELECT v AS id FROM m)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_matched,
+       (SELECT COUNT(DISTINCT id) FROM nodes)
+         = 2 * (SELECT COUNT(*) FROM m) AS is_matching,
+       NOT EXISTS (SELECT 1 FROM m LEFT JOIN und e
+                   ON e.u = m.u AND e.v = m.v WHERE e.u IS NULL) AS edges_real,
+       NOT EXISTS (
+         SELECT 1 FROM und e
+         WHERE e.u <> e.v
+           AND e.u NOT IN (SELECT id FROM nodes)
+           AND e.v NOT IN (SELECT id FROM nodes)
+       ) AS is_maximal
+"""
+
+
+def cc_converged_sql(levels: int = 6) -> str:
+    """Converged undirected connected components, label = min vertex id
+    per component (the canonical relabeling shared by hash-min and the
+    large-star/small-star operator — the partition is unique, so exact
+    match is sound for both). Reachability = transitive-closure doubling
+    over the SYMMETRIZED arcs (2^levels = 64 hops covers the derived
+    graph's undirected diameter at every test SF)."""
+    parts = [
+        "u0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym "
+        "UNION SELECT id AS a, id AS b FROM v)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM u{k - 1} x JOIN u{k - 1} y ON x.b = y.a)"
+        )
+    closure = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{closure}
+SELECT b AS id, MIN(a) AS label FROM u{levels} GROUP BY b
 """

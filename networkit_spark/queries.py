@@ -630,3 +630,92 @@ def q_leiden_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["leiden_labels"] = q_leiden_labels
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-blocking SimHash near-dup pairs; the oracle recomputes the
+    same set with an all-pairs Hamming filter (banding is lossless for
+    max_hamming < n_bands)."""
+    from networkit_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_jaccard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import jaccard_similarity_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return jaccard_similarity_scores(g).select(
+        "u", "v", F.round("score", 6).alias("score")
+    )
+
+
+def q_katz_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality at a fixed 3-superstep unroll (tol=0 disables the
+    early break) so the oracle is plain unrolled SQL; convergence-mode
+    Katz is pytest-covered against the numpy oracle."""
+    from networkit_spark.operators.centrality import katz_centrality
+
+    g = _directed_graph(spark, sf_dir)
+    return katz_centrality(
+        g, alpha=5e-4, beta=0.1, tol=0.0, max_iterations=3
+    ).select("id", F.round("score", 9).alias("score"))
+
+
+def q_matching_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-max matching property summary (side-channel pattern, like
+    plm_labels): the matched edges go to parquet; Spark and DuckDB
+    independently verify matching validity, edge realness, and
+    maximality from that copy."""
+    import os
+
+    from networkit_spark.operators.matching import local_max_matching
+
+    g = _undirected_graph(spark, sf_dir)
+    m = local_max_matching(g)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = side_channel_path("matching_summary", tag)
+    m.select("u", "v").write.mode("overwrite").parquet(path)
+    pers = spark.read.parquet(path)
+
+    und = g.simple_undirected_edges()
+    nodes = pers.select(F.col("u").alias("id")).unionByName(
+        pers.select(F.col("v").alias("id"))
+    )
+    n_matched = pers.count()
+    is_matching = nodes.distinct().count() == 2 * n_matched
+    edges_real = pers.join(und, ["u", "v"], "left_anti").count() == 0
+    matched_nodes = nodes.distinct()
+    is_maximal = (
+        und.join(matched_nodes.withColumnRenamed("id", "u"), "u", "left_anti")
+        .join(matched_nodes.withColumnRenamed("id", "v"), "v", "left_anti")
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [(n_matched, is_matching, edges_real, is_maximal)],
+        "n_matched long, is_matching boolean, edges_real boolean, is_maximal boolean",
+    )
+
+
+QUERIES.update(
+    {
+        "simhash_near_dups": q_simhash_near_dups,
+        "jaccard_scores": q_jaccard_scores,
+        "katz_3iter": q_katz_3iter,
+        "matching_summary": q_matching_summary,
+    }
+)
+
+
+def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged components via alternating large-star/small-star
+    (Kiveris et al.) — the O(log² n)-round scale path; oracled exactly
+    against a transitive-closure min-label twin (partition is unique)."""
+    from networkit_spark.operators.components import connected_components_twophase
+
+    g = _undirected_graph(spark, sf_dir)
+    return connected_components_twophase(g).labels
+
+
+QUERIES.update({"cc_labels_twophase": q_cc_twophase})

@@ -37,7 +37,6 @@ import os
 import shutil
 import subprocess
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,7 +45,11 @@ sys.path.insert(0, REPO)
 RMAT_SCALE = int(os.environ.get("SCALE_RMAT", "22"))
 EDGE_FACTOR = int(os.environ.get("SCALE_EDGE_FACTOR", "16"))
 ITERS = 5
-REPEATS = int(os.environ.get("SCALE_REPEATS", "5"))
+REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
+# a run whose pinned cores lost more than this fraction of CPU time to
+# the hypervisor during the measured section is DIRTY and gets re-run
+DIRTY_STEAL_PCT = float(os.environ.get("SCALE_DIRTY_STEAL_PCT", "2.0"))
+MAX_ATTEMPTS = int(os.environ.get("SCALE_MAX_ATTEMPTS", "3"))
 SHUFFLE_PARTITIONS = 32
 LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "1,2,4,8").split(",")]
 # The headline pair is PRE-DECLARED (default 1->4), never chosen after
@@ -64,6 +67,34 @@ WORKER_CONF = {
     # bottleneck every level equally and mask compute scaling.
     "spark.local.dir": "/dev/shm/spark",
 }
+
+
+def _stat_ticks(cpus):
+    """(busy, steal, total) jiffies summed over `cpus` from /proc/stat."""
+    busy = steal = total = 0
+    with open("/proc/stat") as fh:
+        for line in fh:
+            if not line.startswith("cpu") or line.startswith("cpu "):
+                continue
+            parts = line.split()
+            idx = int(parts[0][3:])
+            if idx not in cpus:
+                continue
+            vals = [int(x) for x in parts[1:]]
+            total += sum(vals)
+            steal += vals[7] if len(vals) > 7 else 0
+            busy += vals[0] + vals[1] + vals[2]  # user+nice+system
+    return busy, steal, total
+
+
+def _occupancy(cpus, secs: float = 2.0):
+    """(busy_pct, steal_pct) on `cpus` over a `secs` sample — the
+    pre-run probe that picks a quiet core window."""
+    b0, s0, t0 = _stat_ticks(cpus)
+    time.sleep(secs)
+    b1, s1, t1 = _stat_ticks(cpus)
+    dt = max(t1 - t0, 1)
+    return 100.0 * (b1 - b0) / dt, 100.0 * (s1 - s0) / dt
 
 
 def worker(cores: int, edges_path: str):
@@ -100,53 +131,97 @@ def worker(cores: int, edges_path: str):
     # hypervisor-steal burst on this shared sandbox host lands on all
     # levels with equal probability instead of penalizing whichever
     # level happened to own the noisy window.
+    # steal accounting on OUR pinned cores over the measured section:
+    # steal jiffies / elapsed wall converts hypervisor interference from
+    # an anecdote into a per-run number the orchestrator can act on.
+    my_cpus = set(os.sched_getaffinity(0))
+    _, st0, _ = _stat_ticks(my_cpus)
     t0 = time.perf_counter()
     scores = pagerank_fixed(g, n_iter=ITERS, distribute_sinks=NO_SINK_HANDLING,
                             checkpoint_every=ITERS, prepared=prep)
     n = scores.count()
     dt = time.perf_counter() - t0
+    _, st1, _ = _stat_ticks(my_cpus)
+    hz = os.sysconf("SC_CLK_TCK")
+    steal_pct = 100.0 * (st1 - st0) / max(dt * hz * len(my_cpus), 1.0)
     print(json.dumps({
         "cores": cores, "edges": m, "vertices": n, "iters": ITERS,
         "wall_sec": round(dt, 3),
         "edges_per_sec": round(ITERS * m / dt, 1),
         "supersteps_per_sec": round(ITERS / dt, 4),
+        "steal_pct": round(steal_pct, 2),
+        "pinned": sorted(my_cpus),
     }))
     spark.stop()
 
 
 def orchestrate():
-    tmp = tempfile.mkdtemp(prefix="scaling_")
-    edges_path = os.path.join(tmp, "edges.parquet")
+    # deterministic input cached across invocations (same generator, same
+    # seed): re-running the bench after a noisy session skips the gen step
+    edges_path = f"/tmp/scaling_rmat{RMAT_SCALE}x{EDGE_FACTOR}.parquet"
 
-    from networkit_spark.generators import rmat
-    from networkit_spark.session import get_spark
+    if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
+        from networkit_spark.generators import rmat
+        from networkit_spark.session import get_spark
 
-    spark = get_spark("scaling_gen", cores=os.cpu_count() or 8,
-                      extra_conf=WORKER_CONF)
-    rm = rmat(spark, scale=RMAT_SCALE, edge_factor=EDGE_FACTOR).dropDuplicates(["src", "dst"])
-    rm.write.mode("overwrite").parquet(edges_path)
-    m = spark.read.parquet(edges_path).count()
-    print(f"input: RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR}, {m} deduped arcs", file=sys.stderr)
-    spark.stop()
+        spark = get_spark("scaling_gen", cores=os.cpu_count() or 8,
+                          extra_conf=WORKER_CONF)
+        rm = rmat(spark, scale=RMAT_SCALE, edge_factor=EDGE_FACTOR).dropDuplicates(["src", "dst"])
+        rm.write.mode("overwrite").parquet(edges_path)
+        m = rm.sparkSession.read.parquet(edges_path).count()
+        print(f"input: RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR}, {m} deduped arcs",
+              file=sys.stderr)
+        spark.stop()
 
     have_taskset = shutil.which("taskset") is not None
 
+    n_cpu = os.cpu_count() or 32
+
+    def pick_window(cores: int) -> list[int]:
+        """Pick the currently-quietest window of `cores` consecutive CPUs.
+
+        This host's hypervisor steal comes in multi-minute bursts that
+        WANDER across the core map (measured 2026-08-17: the identical
+        8-core worker ran 306-315s pinned 24-31 vs 47.6s pinned 4-11 in
+        one window, then 393s pinned 2-9 in another). A fixed pin base
+        therefore measures whichever tenant happens to share those
+        cores, not the plan — so each run probes candidate windows
+        (steal + foreign busy over 2s, cores 0-1 excluded for
+        IRQ/housekeeping) and takes the quietest."""
+        cands = []
+        for base in range(2, n_cpu - cores + 1, max(cores, 4)):
+            cands.append(list(range(base, base + cores)))
+        if not cands:
+            cands = [list(range(min(cores, n_cpu)))]
+        scored = []
+        for w in cands:
+            busy, steal = _occupancy(set(w))
+            scored.append((busy + steal, w))
+            print(f"  probe cores {w[0]}-{w[-1]}: busy+steal={busy + steal:.1f}%",
+                  file=sys.stderr)
+        return min(scored)[1]
+
     def run_once(cores: int) -> dict:
-        cmd = [sys.executable, __file__, "--worker", str(cores), edges_path]
-        if have_taskset:
-            # pin to LOW cores starting at SCALE_PIN_BASE (default 2:
-            # skip core 0-1 IRQ/housekeeping). Measured on this host:
-            # the TOP core range (24-31) is backed by heavily-stolen
-            # host CPUs — the identical 8-core worker ran 306-315s
-            # pinned 24-31 vs 47.6s pinned 4-11 (2026-08-17), so
-            # top-core pinning silently measured neighbor steal, not
-            # the plan. Base is configurable for hosts with different
-            # asymmetry.
-            base = int(os.environ.get("SCALE_PIN_BASE", "2"))
-            cmd = ["taskset", "-c", f"{base}-{base + cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        """One fresh-JVM measurement; re-runs (new window probe each
+        time) while the measured section saw > {DIRTY}% steal on its
+        pinned cores, keeping the cleanest attempt."""
+        attempts = []
+        for att in range(MAX_ATTEMPTS):
+            cmd = [sys.executable, __file__, "--worker", str(cores), edges_path]
+            if have_taskset:
+                w = pick_window(cores)
+                cmd = ["taskset", "-c", f"{w[0]}-{w[-1]}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            attempts.append(r)
+            if r.get("steal_pct", 0.0) <= DIRTY_STEAL_PCT:
+                break
+            print(f"  dirty run (steal {r['steal_pct']}% > {DIRTY_STEAL_PCT}%), "
+                  f"attempt {att + 1}/{MAX_ATTEMPTS}", file=sys.stderr)
+        best = min(attempts, key=lambda r: r.get("steal_pct", 0.0))
+        best["attempts"] = len(attempts)
+        return best
 
     # Interleaved repeats: round-robin over the levels REPEATS times
     # (fresh pinned JVM per run), then per-level MEDIAN. Interleaving +
@@ -187,6 +262,8 @@ def orchestrate():
             "edges_per_sec": round(ITERS * m / med, 1),
             "supersteps_per_sec": round(ITERS / med, 4),
             "repeats": len(walls),
+            "steal_pct_all": [r.get("steal_pct", 0.0) for r in runs],
+            "max_steal_pct": max(r.get("steal_pct", 0.0) for r in runs),
         }
 
     thr = {c: r["edges_per_sec"] for c, r in results.items()}
@@ -210,7 +287,7 @@ def orchestrate():
     print(json.dumps(summary))
 
     rows = "\n".join(
-        f"| {c} | {r['wall_sec']} | {r['wall_spread_pct']}% | {r['edges_per_sec']:,.0f} | {r['supersteps_per_sec']} |"
+        f"| {c} | {r['wall_sec']} | {r['wall_spread_pct']}% | {r['max_steal_pct']}% | {r['edges_per_sec']:,.0f} | {r['supersteps_per_sec']} |"
         for c, r in sorted(results.items())
     )
     eff_rows = "\n".join(
@@ -231,8 +308,8 @@ deduped RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR} power-law graph
 networkit_spark.operators.pagerank (join + partial/final agg per superstep,
 deferred lineage truncation every {ITERS} supersteps).
 
-| cores | wall median (s) | spread max/min | edges/s | supersteps/s |
-|---|---|---|---|---|
+| cores | wall median (s) | spread max/min | worst steal | edges/s | supersteps/s |
+|---|---|---|---|---|---|
 {rows}
 
 | N -> 4N | efficiency (thr_4N/thr_N)/4 |
@@ -246,9 +323,16 @@ measurement): efficiency = {headline}**
 Methodology: each level is a fresh CPU-pinned JVM; the {REPEATS} repeats
 are INTERLEAVED round-robin across levels and each level reports its
 MEDIAN wall time (spread column = (max-min)/min over the repeats). This
-shared sandbox host shows multi-minute hypervisor-steal bursts —
-interleaving spreads a burst across all levels instead of penalizing
-whichever level owned the noisy window, and the median discards it. The
+shared sandbox host shows multi-minute hypervisor-steal bursts that
+WANDER across the core map (measured: the identical 8-core worker ran
+306-315s on cores 24-31 vs 47.6s on cores 4-11 in one window, 393s on
+cores 2-9 in another), so noise is handled by MEASUREMENT, not hope:
+every run first probes candidate core windows (2s busy+steal sample)
+and pins to the quietest; the worker then reads /proc/stat around the
+timed section and reports the steal its own cores actually suffered
+("worst steal" column); a run over {DIRTY_STEAL_PCT}% steal is
+discarded and re-run on a freshly probed window (up to {MAX_ATTEMPTS}
+attempts, cleanest kept). The
 full core curve is reported deliberately: beyond ~8 threads this single
 shared-memory host saturates DRAM bandwidth, so core-scaling flattens —
 a property of the sandbox box, not the plan. The per-superstep plan is

@@ -97,3 +97,44 @@ def test_weighted_graph_raises(spark):
     g = Graph.from_pairs(spark, [(0, 1, 2.0)], directed=False, weighted=True)
     with pytest.raises(ValueError):
         betweenness_centrality(g)
+
+
+def test_adaptive_full_sample_equals_estimate(spark):
+    """One batch consuming every vertex must reproduce
+    estimate_betweenness with n samples exactly (same pivot order, same
+    2n/samples extrapolation)."""
+    from networkit_spark.operators.betweenness import adaptive_betweenness
+
+    edges = erdos_renyi(24, 0.25, seed=7)
+    g = Graph.from_pairs(spark, edges, directed=False)
+    n = g.num_vertices()
+    res = adaptive_betweenness(g, batch_size=n, max_samples=n)
+    assert res.n_samples == n and res.rounds == 1
+    want = _scores(estimate_betweenness(g, n_samples=n))
+    got = _scores(res.scores)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_adaptive_stops_early_and_is_deterministic(spark):
+    from networkit_spark.operators.betweenness import adaptive_betweenness
+
+    edges = erdos_renyi(40, 0.15, seed=11)
+    g = Graph.from_pairs(spark, edges, directed=False)
+    res = adaptive_betweenness(g, err=0.5, batch_size=4, max_samples=40)
+    # a huge tolerance stops at the first delta measurement (2 batches)
+    assert res.rounds == 2 and res.n_samples == 8
+    assert res.history[-1]["delta"] <= 0.5
+    res2 = adaptive_betweenness(g, err=0.5, batch_size=4, max_samples=40)
+    assert _scores(res.scores) == pytest.approx(_scores(res2.scores))
+
+
+def test_adaptive_star_ranking(spark):
+    """On a star the center must dominate any sampled estimate once a
+    couple of batches are in."""
+    from networkit_spark.operators.betweenness import adaptive_betweenness
+
+    edges = [(0, i) for i in range(1, 13)]
+    g = Graph.from_pairs(spark, edges, directed=False)
+    res = adaptive_betweenness(g, err=0.001, batch_size=4, max_samples=13)
+    got = _scores(res.scores)
+    assert got[0] > max(got[i] for i in range(1, 13))

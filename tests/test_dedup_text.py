@@ -152,3 +152,32 @@ def test_lsh_cap_noop_below_threshold(docs):
     a = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
     b = sorted(map(tuple, lsh_candidate_pairs(docs, max_bucket=10**9).collect()))
     assert a == b
+
+
+def test_simhash_near_dups_equals_all_pairs(spark, docs):
+    from networkit_spark.operators.dedup import simhash, simhash_near_duplicates
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, h)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (h := sum(x != y for x, y in zip(sigs[a], sigs[b]))) <= 3
+    )
+    # banding with max_hamming < n_bands is lossless — exact equality
+    assert got == want
+    assert len(want) > 0  # fixture has near-identical docs
+
+
+def test_simhash_near_dups_guards(spark, docs):
+    from networkit_spark.operators.dedup import simhash_near_duplicates
+
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(docs, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(docs, dims=16, n_bands=5)

@@ -144,3 +144,47 @@ def test_nmi_identity_permutation_independence(spark):
         "id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("label")
     )
     assert nmi(truth, other) < 0.1
+
+
+def test_hyperbolic_blocking_is_complete(spark):
+    """The two-zone candidate blocking must not drop edges: with
+    core_frac=1.0 every point is core and the realization degenerates to
+    the exact all-pairs filter — the blocked edge set must equal it."""
+    from networkit_spark.generators import hyperbolic
+
+    blocked = sorted(
+        (r.src, r.dst) for r in hyperbolic(spark, 300, avg_degree=6.0).collect()
+    )
+    allpairs = sorted(
+        (r.src, r.dst)
+        for r in hyperbolic(spark, 300, avg_degree=6.0, core_frac=1.0).collect()
+    )
+    assert blocked == allpairs
+    assert len(blocked) > 0
+
+
+def test_hyperbolic_degree_shape(spark):
+    """Realized average degree lands within a factor of the closed-form
+    target; the degree distribution is heavy-tailed (hub >> mean)."""
+    from networkit_spark.generators import hyperbolic
+
+    n = 1000
+    edges = hyperbolic(spark, n, avg_degree=8.0, seed=3)
+    m = edges.count()
+    avg = 2.0 * m / n
+    assert 8.0 / 3 < avg < 8.0 * 3
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .count()
+    )
+    assert deg.agg(F.max("count")).first()[0] > 5 * avg
+
+
+def test_hyperbolic_deterministic(spark):
+    from networkit_spark.generators import hyperbolic
+
+    a = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
+    b = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
+    assert a == b
