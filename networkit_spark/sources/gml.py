@@ -124,18 +124,25 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
     )
 
     from networkit_spark.sources.graphml import read_graphml
+    from networkit_spark.sources.mtx import _looks_like_mtx, read_mtx
 
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gml":
         return read_gml(spark, path)
     if ext == ".graphml":
         return read_graphml(spark, path)
+    if ext == ".mtx":
+        return read_mtx(spark, path)
     if ext in (".graph", ".metis"):
         return read_metis(spark, path)
 
     with open(path, encoding="utf-8", errors="replace") as fh:
         head = [line for line in (fh.readline() for _ in range(50)) if line]
     stripped = [ln.strip() for ln in head if ln.strip()]
+    # MatrixMarket banner beats the generic '%'-comment handling
+    # (guessFileFormat checks the banner first)
+    if stripped and _looks_like_mtx(stripped[0]):
+        return read_mtx(spark, path)
     if any(ln.startswith("<graphml") for ln in stripped[:5]):
         # reference sniff: XML base element <graphml (graphio.pyx:1180)
         return read_graphml(spark, path)
