@@ -281,3 +281,203 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.98,
     return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim")).filter(
         F.col("sim") >= threshold
     )
+
+
+# ------------------------------------------------------------------ IVF
+def ivf_train(emb: DataFrame, n_cells: int = 16, n_iters: int = 5,
+              seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """Train an IVF coarse quantizer: (n_cells, dims) centroid matrix.
+
+    Spark-first Lloyd iterations, all distributed:
+    - init: the n_cells corpus vectors with smallest xxhash64(vec_id,
+      seed) — a deterministic uniform sample (no Python RNG, no
+      collect-the-corpus);
+    - assign: one numpy GEMM per Arrow batch against the broadcast
+      centroid matrix (mapInPandas) — centroids are L2-normalized so
+      argmax dot == nearest by cosine;
+    - update: the kernel emits PER-BATCH partial sums (cell, dim,
+      partial_sum, partial_count) — the exploded stream entering the
+      shuffle is at most n_cells x dims rows PER BATCH, never one row
+      per vector — then groupBy(cell, dim).sum, collect n_cells x dims
+      tiny rows to rebuild the matrix. Empty cells keep their previous
+      centroid (FAISS convention).
+
+    The trained matrix is driver-side (n_cells x dims doubles — KB),
+    exactly like a broadcast-join small side."""
+    spark = emb.sparkSession
+    init = (
+        emb.select("vec_id", vec_col)
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.asc("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in init], dtype=np.float64)
+    dims = C.shape[1]
+
+    for _ in range(n_iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        bc = spark.sparkContext.broadcast(Cn)
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cn = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = _matrix(pdf[vec_col])
+                nrm = np.maximum(
+                    np.sqrt((M * M).sum(axis=1, keepdims=True)), 1e-12
+                )
+                cells = np.argmax((M / nrm) @ Cn.T, axis=1)
+                out_c, out_d, out_s, out_n = [], [], [], []
+                for c in np.unique(cells):
+                    sub = M[cells == c]
+                    out_c.append(np.full(dims, c, dtype=np.int64))
+                    out_d.append(np.arange(dims, dtype=np.int64))
+                    out_s.append(sub.sum(axis=0))
+                    out_n.append(np.full(dims, len(sub), dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(out_c),
+                        "dim": np.concatenate(out_d),
+                        "s": np.concatenate(out_s),
+                        "n": np.concatenate(out_n),
+                    }
+                )
+
+        agg = (
+            emb.select("vec_id", vec_col)
+            .mapInPandas(partials, schema="cell long, dim long, s double, n long")
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros(n_cells, dtype=np.int64)
+        sums = np.zeros_like(C)
+        for r in agg:
+            sums[r["cell"], r["dim"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        newC[nonempty] = sums[nonempty] / counts[nonempty, None]
+        C = newC
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               nprobe: int = 1, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, rank) — each vector's `nprobe` nearest cells by
+    cosine, rank 0 = home cell. One batch GEMM per Arrow batch."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    nprobe = min(nprobe, len(Cn))
+    bc = emb.sparkSession.sparkContext.broadcast(Cn)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cn = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = _matrix(pdf[vec_col])
+            nrm = np.maximum(np.sqrt((M * M).sum(axis=1, keepdims=True)), 1e-12)
+            sims = (M / nrm) @ Cn.T
+            # deterministic: sim DESC then cell ASC
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(Cn.shape[0]), sims.shape), -sims),
+                axis=1,
+            )[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nprobe),
+                    "cell": order.ravel(),
+                    "rank": np.tile(np.arange(nprobe, dtype=np.int64), len(ids)),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        batches, schema="vec_id long, cell long, rank long"
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_cells: int = 16, nprobe: int = 4, n_iters: int = 5,
+             seed: int = 42, vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate cosine top-k via an IVF index (the k-means analog of
+    lsh_topk — same plan shape, learned cells instead of sign bits):
+
+    1. train the coarse quantizer (or take a pre-trained matrix);
+    2. corpus vectors land in their HOME cell (one row each);
+       query vectors fan out to their `nprobe` nearest cells;
+    3. per-cell block GEMM (grouped-map Arrow kernel) scores each
+       query copy against the cell's corpus block — block-local
+       Q_cell x N_cell, never global Q x N;
+    4. a final window merges the per-cell candidates into global top-k.
+
+    nprobe = n_cells probes every cell and is EXACT (== brute_force_topk)
+    — the correctness anchor; recall degrades gracefully as nprobe
+    shrinks. At 100 TB the cell id is the shuffle key; cells are
+    balanced by k-means (skewed corpora: raise n_cells)."""
+    if centroids is None:
+        centroids = ivf_train(corpus, n_cells, n_iters, seed, vec_col)
+
+    cvecs = corpus.select("vec_id", vec_col).join(
+        ivf_assign(corpus, centroids, nprobe=1, vec_col=vec_col).select(
+            "vec_id", "cell"
+        ),
+        "vec_id",
+    ).select("cell", F.col("vec_id").alias("cid"), F.col(vec_col).alias("cv"))
+    qvecs = queries.select("vec_id", vec_col).join(
+        ivf_assign(queries, centroids, nprobe=nprobe, vec_col=vec_col).select(
+            "vec_id", "cell"
+        ),
+        "vec_id",
+    ).select("cell", F.col("vec_id").alias("qid"), F.col(vec_col).alias("qv"))
+
+    both = cvecs.join(qvecs, "cell", "right").select(
+        "cell", "qid", "qv", "cid", "cv"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        corp = pdf.drop_duplicates("cid").dropna(subset=["cid"])
+        if len(corp) == 0:
+            return empty
+        qs = pdf.drop_duplicates("qid")
+        C = _matrix(corp["cv"])
+        c_ids = corp["cid"].to_numpy().astype(np.int64)
+        Q = _matrix(qs["qv"])
+        q_ids = qs["qid"].to_numpy().astype(np.int64)
+        cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-12)
+        qn = np.maximum(np.sqrt((Q * Q).sum(axis=1)), 1e-12)
+        S = (Q @ C.T) / np.outer(qn, cn)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(q_ids)):
+            row = S[i].copy()
+            row[c_ids == q_ids[i]] = -np.inf
+            top = _topk_rows(row, c_ids, k)
+            top = top[np.isfinite(row[top])]
+            out_q.append(np.full(len(top), q_ids[i], dtype=np.int64))
+            out_n.append(c_ids[top])
+            out_s.append(row[top])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    cand = both.groupBy("cell").applyInPandas(
+        per_cell, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

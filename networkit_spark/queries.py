@@ -719,3 +719,18 @@ def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"cc_labels_twophase": q_cc_twophase})
+
+
+def q_ivf_knn_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe = n_cells (every cell probed): the index routing
+    must be LOSSLESS, so the result equals exact brute-force top-k and
+    the oracle is the same all-pairs SQL as knn_cosine_top5. Recall at
+    partial nprobe is pytest-covered (test_similarity.py)."""
+    from networkit_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, emb, k=5, n_cells=8, nprobe=8)
+
+
+QUERIES.update({"ivf_knn_full_probe": q_ivf_knn_full_probe})

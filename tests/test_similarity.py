@@ -95,3 +95,47 @@ def test_embedding_near_duplicates(emb):
     nd = embedding_near_duplicates(emb, threshold=0.999, dims=DIMS)
     pairs = {(r["vec_a"], r["vec_b"]) for r in nd.collect()}
     assert (0, 1) in pairs  # the planted near-copy
+
+
+# ------------------------------------------------------------------ IVF
+def test_ivf_full_probe_equals_brute_force(emb):
+    """nprobe = n_cells probes every cell: IVF must equal the exact
+    brute-force top-k row-for-row (the correctness anchor)."""
+    from networkit_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(map(tuple, ivf_topk(q, emb, k=5, n_cells=8, nprobe=8).collect()))
+    want = sorted(map(tuple, brute_force_topk(q, emb, k=5).collect()))
+    assert got == want
+
+
+def test_ivf_recall_and_determinism(emb):
+    """Clustered fixture: probing half the cells keeps recall high; the
+    whole pipeline (hash init + Lloyd + assignment) is seed-deterministic."""
+    from networkit_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = sorted(
+        map(tuple, ivf_topk(q, emb, k=5, n_cells=8, nprobe=4).collect())
+    )
+    hits = sum((a, b) in exact for a, b, _ in approx)
+    assert hits / len(exact) >= 0.8
+    again = sorted(
+        map(tuple, ivf_topk(q, emb, k=5, n_cells=8, nprobe=4).collect())
+    )
+    assert approx == again
+
+
+def test_ivf_train_balances_clusters(emb):
+    """k-means on the 4-cluster fixture: every trained centroid is finite
+    and assignments split the corpus into multiple non-empty cells."""
+    from networkit_spark.operators.similarity import ivf_assign, ivf_train
+
+    C = ivf_train(emb, n_cells=4, n_iters=5)
+    assert C.shape == (4, DIMS) and np.isfinite(C).all()
+    cells = ivf_assign(emb, C, nprobe=1).select("cell").distinct().count()
+    assert cells >= 3
