@@ -70,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": o.minhash_sql(),
         "lsh_candidate_pairs": o.lsh_pairs_sql(),
         "near_dup_jaccard": o.near_dup_jaccard_sql(),
+        "dedup_clusters": o.dedup_clusters_sql(),
         "simhash": o.simhash_sql(),
         "token_stats": o.token_stats_sql(),
         "quality_scores": o.quality_sql(),

@@ -274,3 +274,35 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def dedup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster, keep) — the end-to-end dedup DECISION: near-dup
+    pairs (MinHash→LSH→Jaccard-verify) become edges of an undirected
+    graph over doc ids; connected components merge transitive chains
+    (a~b, b~c ⇒ one group even when a,c never shared a bucket); the
+    canonical cluster id is the MIN doc_id in the group (hash-min CC's
+    fixed point) and keep = (doc_id == cluster) — the deterministic
+    keep-one policy a training pipeline filters on.
+
+    Scale: pairs are bucket-bounded (never all-pairs); the CC runs on the
+    near-dup graph only, whose components are tiny (dup clusters), so
+    hash-min converges in O(log max-cluster-diameter) supersteps. One
+    extra shuffle over the pairs — everything upstream is shared with
+    near_duplicates.
+    """
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import connected_components
+
+    pairs = near_duplicates(docs, n=n, threshold=threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).withColumn("weight", F.lit(1.0))
+    vertices = docs.select(F.col("doc_id").alias("id"))
+    g = Graph.from_edges(edges, directed=False, vertices=vertices)
+    labels = connected_components(g).labels
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

@@ -1106,3 +1106,45 @@ WITH {EDGES_CTE},
 {closure}
 SELECT b AS id, MIN(a) AS label FROM u{levels} GROUP BY b
 """
+
+
+def dedup_clusters_sql(threshold: float = 0.5, levels: int = 6) -> str:
+    """End-to-end dedup decision: verified near-dup pairs → undirected
+    transitive closure (doubling, 2^levels hops covers any dup-chain
+    diameter at test scale) → cluster = MIN doc_id, keep = (doc_id ==
+    cluster). Exact twin of operators/dedup.dedup_clusters (hash-min CC's
+    fixed point is the same min-id partition)."""
+    parts = [
+        "c0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM nd "
+        "UNION SELECT doc_b, doc_a FROM nd "
+        "UNION SELECT doc_id AS a, doc_id AS b FROM documents)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM c{k - 1} x JOIN c{k - 1} y ON x.b = y.a)"
+        )
+    closure = ",\n".join(parts)
+    return f"""
+WITH {_buckets_cte()},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.ngram = a.ngram
+  GROUP BY c.doc_a, c.doc_b),
+nd AS (SELECT doc_a, doc_b FROM (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(COALESCE(i.i, 0) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN szs sa ON sa.doc_id = c.doc_a
+  JOIN szs sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= {threshold}),
+{closure}
+SELECT b AS doc_id, MIN(a) AS cluster, (b = MIN(a)) AS keep
+FROM c{levels} GROUP BY b
+"""

@@ -12,6 +12,7 @@ from networkit_spark.graph import Graph
 from networkit_spark.graphtools import continuous_node_ids
 from networkit_spark.operators.components import connected_components
 from networkit_spark.operators.dedup import (
+    dedup_clusters,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -249,6 +250,10 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
@@ -367,6 +372,7 @@ QUERIES = {
     "minhash_signatures": q_minhash,
     "lsh_candidate_pairs": q_lsh_pairs,
     "near_dup_jaccard": q_near_dup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
     "quality_scores": q_quality,

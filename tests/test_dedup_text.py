@@ -181,3 +181,29 @@ def test_simhash_near_dups_guards(spark, docs):
         simhash_near_duplicates(docs, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError):
         simhash_near_duplicates(docs, dims=16, n_bands=5)
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c merge into ONE cluster even if a,c never pair; keep =
+    exactly the min doc_id per cluster; non-dups stay singletons."""
+    from networkit_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (10, base + " today"),
+        (11, base + " today"),          # exact dup of 10
+        (12, base + " today now"),      # near dup of 10/11
+        (13, "a completely different document about spark sql joins here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert len(out) == 4                      # every doc labeled
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[13] == (13, True)              # singleton keeps itself
+    # transitivity: if 12 near-dups either of 10/11 it must join cluster 10
+    if out[12][0] == 10:
+        assert out[12][1] is False
+    else:
+        assert out[12] == (12, True)
