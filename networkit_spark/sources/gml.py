@@ -126,11 +126,15 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
     from networkit_spark.sources.graphml import read_graphml
     from networkit_spark.sources.mtx import _looks_like_mtx, read_mtx
 
+    from networkit_spark.sources.gexf import read_gexf
+
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gml":
         return read_gml(spark, path)
     if ext == ".graphml":
         return read_graphml(spark, path)
+    if ext == ".gexf":
+        return read_gexf(spark, path)
     if ext == ".mtx":
         return read_mtx(spark, path)
     if ext in (".graph", ".metis"):
@@ -146,6 +150,8 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
     if any(ln.startswith("<graphml") for ln in stripped[:5]):
         # reference sniff: XML base element <graphml (graphio.pyx:1180)
         return read_graphml(spark, path)
+    if any(ln.startswith("<gexf") for ln in stripped[:5]):
+        return read_gexf(spark, path)
     if any(ln.startswith("graph") and "[" in ln for ln in stripped[:5]):
         return read_gml(spark, path)
     first_real = next((ln for ln in stripped if not ln.startswith(("%", "#"))), "")
