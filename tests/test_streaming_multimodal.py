@@ -172,3 +172,80 @@ def test_pil_decode_optional(spark):
 
         with _pytest.raises(NotImplementedError):
             pil_decode(b"\x89PNG fake")
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup: a text emitted in batch 1
+    is NOT re-emitted when batch 2 repeats it; new texts still pass."""
+    from networkit_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    ).write.parquet(src_dir, mode="overwrite")
+
+    def run_available():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        q = (
+            streaming_dedup_first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    got = {r["doc_id"]: r["n_dups"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: 1, 3: 0}  # alpha kept doc 1 (min), one dup; beta unique
+
+    # batch 2: repeat alpha (must NOT re-emit), add gamma (must emit)
+    spark.createDataFrame(
+        [(9, "alpha"), (4, "gamma")], "doc_id long, text string"
+    ).write.mode("append").parquet(src_dir)
+    run_available()
+    got = {r["doc_id"]: r["n_dups"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: 1, 3: 0, 4: 0}
+
+
+def test_streaming_running_degrees(spark, tmp_path):
+    """Cumulative per-vertex degree across micro-batches."""
+    from networkit_spark.streaming.stateful import streaming_running_degrees
+
+    src_dir = str(tmp_path / "edges_in")
+    out_dir = str(tmp_path / "deg_out")
+    ckpt = str(tmp_path / "deg_ckpt")
+    spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long").write.parquet(
+        src_dir, mode="overwrite"
+    )
+
+    def run_available():
+        stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+        q = (
+            streaming_running_degrees(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    spark.createDataFrame([(1, 3)], "src long, dst long").write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_available()
+    # latest row per vertex = cumulative degree: 1 has 3 (edges to 0,2,3)
+    latest = (
+        spark.read.parquet(out_dir)
+        .groupBy("id")
+        .agg(F.max("degree").alias("degree"))
+        .collect()
+    )
+    assert {r["id"]: r["degree"] for r in latest} == {0: 1, 1: 3, 2: 1, 3: 1}
