@@ -53,6 +53,23 @@ def log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies over all CPUs — this shared sandbox host has
+    multi-minute hypervisor-steal bursts; reporting the bench window's
+    steal% makes a noisy run distinguishable from a slow plan."""
+    tot = steal = 0
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu") and not line.startswith("cpu "):
+                    vals = [int(x) for x in line.split()[1:]]
+                    tot += sum(vals)
+                    steal += vals[7] if len(vals) > 7 else 0
+    except OSError:
+        pass
+    return steal, tot
+
+
 def force(df) -> int:
     """Fully evaluate a DataFrame (all columns), return row count."""
     return df.agg(
@@ -90,6 +107,7 @@ def main():
 
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
+    s0, t0 = _steal_ticks()
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -128,6 +146,7 @@ def main():
     timed("cc_converge", lambda: force(connected_components(g_und).labels))
     timed("plp_2iter", lambda: force(label_propagation_fixed(g_und, n_iter=2)))
     timed("triangle_total", lambda: triangles(g_und).count())
+    edges.unpersist()  # executor memory back before the later stages
 
     # RMAT power-law stress: 2^18 nodes × 16 = ~4M deduped directed arcs.
     rm = rmat(spark, scale=18, edge_factor=16).dropDuplicates(["src", "dst"]).persist()
@@ -144,6 +163,7 @@ def main():
         ),
     )
     extra["rmat_edges_per_sec"] = round(5 * m_rmat / times["rmat_pagerank_5iter"], 1)
+    rm.unpersist()
 
     # North-star ingest pipeline: synthesized pages corpus → Arrow
     # mapInPandas link extraction → xxhash64 ids → PageRank.
@@ -201,6 +221,10 @@ def main():
     timed("lfr_plm", lfr_plm)
     extra["lfr_edges"] = m_lfr
     lfr_edges.unpersist()
+
+    s1, t1 = _steal_ticks()
+    if t1 > t0:
+        extra["host_steal_pct"] = round(100.0 * (s1 - s0) / (t1 - t0), 2)
 
     total = round(sum(times.values()), 3)
     print(
