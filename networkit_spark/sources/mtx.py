@@ -64,10 +64,10 @@ def read_mtx(spark: SparkSession, path: str) -> Graph:
         .filter(~F.col("value").startswith("%"))
         .filter(F.col("value") != "")
     )
-    # bounded-window: MTX is a single-file format whose preamble
-    # (header comments + the one size line) precedes all data by spec —
-    # the window only disambiguates that first line, order within the
-    # single input split.
+    # MTX is a single-file format whose preamble (header comments + the
+    # one size line) precedes all data by spec — this is a
+    # bounded-window: it only disambiguates that first line, order
+    # within the single input split.
     w = Window.orderBy("lineno")
     numbered = lines.withColumn("rn", F.row_number().over(w))
     size = numbered.filter("rn = 1").select("value").first()["value"].split()
