@@ -7,7 +7,8 @@ Prints ONE JSON line:
 Headline workload (the engine's bread and butter at 100 TB):
   pagerank_5iter   — 5 supersteps of PageRank on the derived link graph
                      (modulus scaled up so the graph is ~|lineitem| arcs)
-  cc_converge      — hash-min connected components to convergence
+  cc_converge      — connected components to convergence
+                     (large-star/small-star; hash-min is the oracle twin)
   plp_2iter        — 2 synchronous label-propagation sweeps
   triangle_total   — degree-ordered triangle count
   rmat_pagerank    — 5 PageRank supersteps on an RMAT 2^16×16 power-law
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 from networkit_spark.generators import rmat
 from networkit_spark.graph import Graph
-from networkit_spark.operators.components import connected_components
+from networkit_spark.operators.components import connected_components_twophase
 from networkit_spark.operators.dedup import near_duplicates
 from networkit_spark.operators.labelprop import label_propagation_fixed
 from networkit_spark.operators.pagerank import (
@@ -143,7 +144,9 @@ def main():
         .withColumn("weight", F.lit(1.0))
     )
     g_und = Graph.from_edges(und, directed=False)
-    timed("cc_converge", lambda: force(connected_components(g_und).labels))
+    # large-star/small-star: measured ~40% faster than hash-min+doubling
+    # on this graph (both are oracle-checked driver queries; same labels)
+    timed("cc_converge", lambda: force(connected_components_twophase(g_und).labels))
     timed("plp_2iter", lambda: force(label_propagation_fixed(g_und, n_iter=2)))
     timed("triangle_total", lambda: triangles(g_und).count())
     edges.unpersist()  # executor memory back before the later stages
