@@ -517,3 +517,131 @@ def approx_closeness(
         .join(sums, "id", "left")
         .select("id", F.round(F.coalesce(est, F.lit(0.0)), 9).alias("score"))
     )
+
+
+# ---------------------------------------------------------- algebraic distance
+def algebraic_distance_loads(
+    graph: Graph,
+    num_systems: int = 10,
+    num_iters: int = 30,
+    omega: float = 0.5,
+    seed: int = 1,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(id, sys, load) — normalized algebraic-distance test vectors.
+
+    AlgebraicDistance.cpp:27-110 semantics (Chen & Safro): num_systems
+    test vectors random-init in [0,1), num_iters Jacobi sweeps
+    new[u] = (1-ω)·old[u] + ω·(Σ_v w(u,v)·old[v] / weightedDeg(u)),
+    then per-system normalization load ← (min−load)/(min−max).
+
+    Deviations (documented): init is a DETERMINISTIC md5-based hash of
+    (seed, id, sys) instead of Aux::Random::real() — replicable in the
+    DuckDB oracle and across runs; isolated nodes KEEP their init load
+    (the reference's 0/0 produces NaN loads whose distances collapse to
+    0 via its isnan guard — no finite information either way).
+
+    Scale shape: the sweep is the PageRank gather plan (one shuffle join
+    + one partial/final agg per sweep, num_systems rows per vertex);
+    lineage truncated every `checkpoint_every` sweeps.
+    """
+    spark = graph.edges.sparkSession
+    systems = spark.range(num_systems).select(F.col("id").cast("int").alias("sys"))
+    loads = graph.vertices().crossJoin(F.broadcast(systems)).select(
+        "id",
+        "sys",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("ad"), F.lit(seed), "id", "sys")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("load"),
+    )
+    sym = graph.symmetrized_edges().persist(StorageLevel.MEMORY_AND_DISK)
+    wdeg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("wdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wdeg.count()
+
+    state = truncate(loads)
+    for it in range(num_iters):
+        nbr = state.select(F.col("id").alias("dst"), "sys", F.col("load").alias("nl"))
+        gathered = (
+            sym.join(nbr, "dst")
+            .groupBy(F.col("src").alias("id"), "sys")
+            .agg(F.sum(F.col("weight") * F.col("nl")).alias("s"))
+        )
+        new = (
+            state.join(gathered, ["id", "sys"], "left")
+            .join(wdeg, "id", "left")
+            .select(
+                "id",
+                "sys",
+                F.when(
+                    F.col("s").isNotNull(),
+                    (1.0 - omega) * F.col("load")
+                    + omega * (F.col("s") / F.col("wdeg")),
+                )
+                .otherwise(F.col("load"))
+                .alias("load"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == num_iters - 1:
+            state = truncate(new, release=state)
+        else:
+            state = new
+
+    mm = state.groupBy("sys").agg(
+        F.min("load").alias("mn"), F.max("load").alias("mx")
+    )
+    out = state.join(F.broadcast(mm), "sys").select(
+        "id",
+        "sys",
+        F.when(F.col("mn") == F.col("mx"), F.lit(0.0))
+        .otherwise((F.col("mn") - F.col("load")) / (F.col("mn") - F.col("mx")))
+        .alias("load"),
+    )
+    out = truncate(out, release=state)
+    sym.unpersist()
+    wdeg.unpersist()
+    return out
+
+
+def algebraic_distance_edge_scores(
+    graph: Graph,
+    num_systems: int = 10,
+    num_iters: int = 30,
+    omega: float = 0.5,
+    norm: int = 0,
+    seed: int = 1,
+) -> DataFrame:
+    """(u, v, ad) — algebraic distance per edge (withEdgeScores=true,
+    AlgebraicDistance.cpp:112-119 + distance():121-146): norm=0 is the
+    reference's MAX_NORM (L∞ over systems), norm=p is the p-norm. Each
+    undirected edge scored once (u <= v), self-loops score 0 trivially."""
+    loads = algebraic_distance_loads(graph, num_systems, num_iters, omega, seed)
+    rep = graph.symmetrized_edges().filter(F.col("src") <= F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    lu = loads.select(F.col("id").alias("u"), "sys", F.col("load").alias("lu"))
+    lv = loads.select(F.col("id").alias("v"), "sys", F.col("load").alias("lv"))
+    diffs = rep.join(lu, "u").join(lv, ["v", "sys"]).select(
+        "u", "v", "sys", F.abs(F.col("lu") - F.col("lv")).alias("d")
+    )
+    if norm == 0:
+        agg = F.max("d")
+    else:
+        agg = F.pow(F.sum(F.pow("d", float(norm))), 1.0 / norm)
+    return (
+        diffs.groupBy("u", "v")
+        .agg(F.coalesce(agg, F.lit(0.0)).alias("ad"))
+        .select("u", "v", F.nanvl("ad", F.lit(0.0)).alias("ad"))
+    )

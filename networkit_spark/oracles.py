@@ -1148,3 +1148,46 @@ nd AS (SELECT doc_a, doc_b FROM (
 SELECT b AS doc_id, MIN(a) AS cluster, (b = MIN(a)) AS keep
 FROM c{levels} GROUP BY b
 """
+
+
+def algebraic_distance_sql(
+    num_systems: int = 4, num_iters: int = 4, omega: float = 0.5, seed: int = 1
+) -> str:
+    """Exact twin of operators/distances.algebraic_distance_edge_scores
+    (max norm) on the undirected derived graph: same md5 init, unrolled
+    Jacobi sweeps, per-system normalization, per-edge L-infinity."""
+    sys_vals = ", ".join(f"({s})" for s in range(num_systems))
+    parts = [
+        f"sysx AS (SELECT * FROM (VALUES {sys_vals}) s(sys))",
+        "wdeg AS (SELECT src AS id, SUM(weight) AS wdeg FROM sym GROUP BY src)",
+        f"""l0 AS (SELECT id, sys,
+    ('0x' || substring(md5('ad|{seed}|' || id || '|' || sys), 1, 8))::BIGINT
+      / 4294967296.0 AS load
+  FROM v CROSS JOIN sysx)""",
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(f"""l{k} AS (
+  SELECT p.id, p.sys,
+         CASE WHEN g.s IS NOT NULL
+              THEN (1.0 - {omega}) * p.load + {omega} * (g.s / w.wdeg)
+              ELSE p.load END AS load
+  FROM l{k - 1} p
+  LEFT JOIN (SELECT e.src AS id, l.sys, SUM(e.weight * l.load) AS s
+             FROM sym e JOIN l{k - 1} l ON l.id = e.dst
+             GROUP BY e.src, l.sys) g ON g.id = p.id AND g.sys = p.sys
+  LEFT JOIN wdeg w ON w.id = p.id)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain},
+mm AS (SELECT sys, MIN(load) AS mn, MAX(load) AS mx FROM l{num_iters} GROUP BY sys),
+nrm AS (SELECT l.id, l.sys,
+          CASE WHEN mm.mn = mm.mx THEN 0.0
+               ELSE (mm.mn - l.load) / (mm.mn - mm.mx) END AS load
+        FROM l{num_iters} l JOIN mm ON mm.sys = l.sys)
+SELECT e.u, e.v, MAX(ABS(la.load - lb.load)) AS ad
+FROM und e
+JOIN nrm la ON la.id = e.u
+JOIN nrm lb ON lb.id = e.v AND lb.sys = la.sys
+GROUP BY e.u, e.v
+"""

@@ -613,6 +613,15 @@ QUERIES.update(
 )
 
 
+def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distances import (
+        algebraic_distance_edge_scores,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    return algebraic_distance_edge_scores(g, num_systems=4, num_iters=4)
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.sparsification import adamic_adar_scores
 
