@@ -96,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "nominal_assortativity_mod7": o.nominal_assortativity_sql(),
         "adamic_adar": o.adamic_adar_sql(),
         "algebraic_distance": o.algebraic_distance_sql(),
+        "link_prediction_d2": o.link_prediction_d2_sql(),
         "jaccard_scores": o.jaccard_scores_sql(),
         "cc_labels_twophase": o.cc_converged_sql(),
         "katz_3iter": o.katz_sql(),

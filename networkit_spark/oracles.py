@@ -1191,3 +1191,40 @@ JOIN nrm la ON la.id = e.u
 JOIN nrm lb ON lb.id = e.v AND lb.sys = la.sys
 GROUP BY e.u, e.v
 """
+
+
+def link_prediction_d2_sql() -> str:
+    """Exact twin of queries.q_link_prediction_d2: distance-2 candidate
+    pairs (wedge minus existing edges) with the five neighborhood
+    indices (linkprediction/ *Index semantics)."""
+    return f"""
+WITH {EDGES_CTE},
+nbr AS (SELECT src AS u, dst AS w FROM sym),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+cand AS (
+  SELECT DISTINCT a.u AS u, b.u AS v
+  FROM nbr a JOIN nbr b ON a.w = b.w AND a.u < b.u
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = a.u AND e.v = b.u)
+),
+cn AS (
+  SELECT c.u, c.v,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(1.0 / LN(d.deg)) AS aa,
+         SUM(1.0 / d.deg) AS ra
+  FROM cand c
+  JOIN nbr a ON a.u = c.u
+  JOIN nbr b ON b.u = c.v AND b.w = a.w
+  JOIN deg d ON d.id = a.w
+  GROUP BY c.u, c.v
+)
+SELECT c.u, c.v,
+       cn.cnt AS common_neighbors,
+       ROUND(cn.cnt / (du.deg + dv.deg - cn.cnt), 6) AS jaccard,
+       ROUND(cn.aa, 6) AS adamic_adar,
+       ROUND(cn.ra, 6) AS resource_allocation,
+       du.deg * dv.deg AS pref_attachment
+FROM cand c
+JOIN cn ON cn.u = c.u AND cn.v = c.v
+JOIN deg du ON du.id = c.u
+JOIN deg dv ON dv.id = c.v
+"""

@@ -613,6 +613,23 @@ QUERIES.update(
 )
 
 
+def q_link_prediction_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import (
+        link_prediction_scores,
+        missing_links,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    scores = link_prediction_scores(g, missing_links(g, k=2))
+    return scores.select(
+        "u", "v", "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "pref_attachment",
+    )
+
+
 def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distances import (
         algebraic_distance_edge_scores,
