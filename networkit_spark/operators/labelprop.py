@@ -31,16 +31,16 @@ removes the oscillation the same way the reference's asynchrony does.
 Spark plan per superstep:
     msgs     = labels ⋈ sym_edges on src → (dst, label, weight)
     weights  = msgs groupBy(id=dst, label).sum(weight)      [hash agg]
-    heaviest = row_number() over (partitionBy id
-               orderBy weight DESC, label ASC) == 1          [window argmax,
-               = the reference's max-weight-then-smallest-label tie-break]
+    heaviest = groupBy(id) struct-max of (weight, -label)    [hash-agg argmax
+               = the reference's max-weight-then-smallest-label tie-break,
+               no sort-based window]
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
@@ -73,11 +73,18 @@ def _heaviest_labels(labels: DataFrame, sym: DataFrame,
     if active is not None:
         msgs = msgs.join(active.select(F.col("id").alias("nid")), "nid", "left_semi")
     lw = msgs.groupBy("nid", "label").agg(F.sum("weight").alias("w"))
-    w = Window.partitionBy("nid").orderBy(F.desc("w"), F.asc("label"))
+    # argmax(w desc, label asc) as a lexicographic struct-max: a pure hash
+    # aggregation (partial+final) instead of a sort-based window — same
+    # winner, no per-partition sort. -label encodes the smallest-label
+    # tie-break (PLP.cpp:91-96).
     return (
-        lw.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select(F.col("nid").alias("id"), F.col("label").alias("heaviest"))
+        lw.groupBy("nid")
+        .agg(
+            F.max(
+                F.struct(F.col("w"), (-F.col("label")).alias("neg"), F.col("label"))
+            ).alias("b")
+        )
+        .select(F.col("nid").alias("id"), F.col("b.label").alias("heaviest"))
     )
 
 

@@ -47,8 +47,10 @@ end-to-end (the cross-implementation equivalence tests do).
 Spark plan per sweep (all built-ins, no UDFs):
     aff   = labels ⋈ sym_edges on dst → groupBy(src, label).sum(w)
     volC  = labels ⋈ vol_node → groupBy(label).sum            [tiny]
-    best  = aff ⋈ volC(D) ⋈ volC(C) ⋈ vol_node → Δ formula →
-            window argmax (Δ desc, D asc) → filter Δ > 0 ∧ parity
+    best  = aff ⋈ labels ⋈ vol_node ⋈ volC(D) → per-candidate score →
+            groupBy(id) struct-max argmax (score desc, D asc; Δ ordering
+            is score ordering + a per-node constant) → exact Δ for the
+            winner → filter Δ > 0 ∧ parity
 Community tables are communities-sized (≪ vertices after the first
 sweeps) — Spark broadcasts them automatically; the only edge-table-sized
 shuffle is the affinity aggregation, partitioned on src like the edge
@@ -60,7 +62,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
@@ -137,47 +139,68 @@ def _move_phase(
             .agg(F.sum("vol").alias("vol_c"))
         )
 
-        own = state.withColumnRenamed("label", "c")
-        aff_own = aff.join(
-            own.select("id", F.col("c").alias("nc")), ["id", "nc"]
-        ).select("id", F.col("aff").alias("aff_c"))
-
-        cand = (
+        # Within one node, Δ(nc) = [aff/ω − γ·vol·vol_D/(2ω²)] + const(id)
+        # (aff_C, vol, vol_C∖u are the same for every candidate of u), so
+        # the per-node argmax reduces to a SCORE over (aff, vol_D) alone
+        # — one hash aggregation with a lexicographic struct-max replaces
+        # the window sort-shuffle and the aff_own self-join. The full Δ
+        # (same formula as PLM.cpp:135-143) is recomputed for the winner
+        # to apply the Δ>0 gate exactly.
+        own = state.select("id", F.col("label").alias("c"))
+        scored = (
             aff.join(own, "id")
-            .filter(F.col("nc") != F.col("c"))
-            .join(aff_own, "id", "left")
-            .withColumn("aff_c", F.coalesce("aff_c", F.lit(0.0)))
             .join(vol_node, "id")
-            .join(
-                vol_comm.select(F.col("label").alias("c"), F.col("vol_c").alias("vol_cc")),
-                "c",
-            )
             .join(
                 vol_comm.select(F.col("label").alias("nc"), F.col("vol_c").alias("vol_d")),
                 "nc",
             )
             .withColumn(
-                "delta",
-                (F.col("aff") - F.col("aff_c")) / total
-                + gamma
-                * ((F.col("vol_cc") - F.col("vol")) - F.col("vol_d"))
-                * F.col("vol")
-                / (2.0 * total * total),
+                "score",
+                F.col("aff") / total
+                - gamma * F.col("vol") * F.col("vol_d") / (2.0 * total * total),
             )
         )
-        w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("nc"))
-        # `improvable` = ungated candidate (rn=1, Δ>0); the xxhash parity
+        per_node = scored.groupBy("id").agg(
+            F.max("c").alias("c"),  # constant per id
+            F.max("vol").alias("vol"),
+            F.max(F.when(F.col("nc") == F.col("c"), F.col("aff"))).alias("aff_c"),
+            F.max(
+                F.when(
+                    F.col("nc") != F.col("c"),
+                    F.struct(
+                        F.col("score"),
+                        (-F.col("nc")).alias("neg_nc"),  # ties → smallest nc
+                        F.col("nc"),
+                        F.col("aff").alias("aff_d"),
+                        F.col("vol_d"),
+                    ),
+                )
+            ).alias("best"),
+        )
+        # `improvable` = ungated candidate (Δ>0 best); the xxhash parity
         # gate only throttles which half MOVES this sweep. Idleness is
         # judged on the UNGATED set: a sweep where every improvable node
         # happened to hash odd must not terminate the phase (the
         # reference converges only when NO node can improve).
         best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("delta") > 0))
+            per_node.filter(F.col("best").isNotNull())
+            .join(
+                vol_comm.select(F.col("label").alias("c"), F.col("vol_c").alias("vol_cc")),
+                "c",
+            )
+            .withColumn(
+                "delta",
+                (F.col("best.aff_d") - F.coalesce("aff_c", F.lit(0.0))) / total
+                + gamma
+                * ((F.col("vol_cc") - F.col("vol")) - F.col("best.vol_d"))
+                * F.col("vol")
+                / (2.0 * total * total),
+            )
+            .filter(F.col("delta") > 0)
             .withColumn(
                 "gate", F.pmod(F.xxhash64("id", F.lit(sweep)), 2) == 0
             )
-            .select("id", F.col("nc").alias("new_label"), "gate")
+            .select("id", F.col("best.nc").alias("new_label"), "gate")
         )
 
         merged = state.join(best, "id", "left").select(
