@@ -116,10 +116,13 @@ def _move_phase(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
-    vol_node = _node_volumes(graph).persist(StorageLevel.MEMORY_AND_DISK)
-    vol_node.count()
+    vol_node = _node_volumes(graph)
 
-    state = truncate(labels)
+    # State carries (id, label, vol): vol is loop-invariant, so folding it
+    # into the state once removes two vol_node joins (and their broadcast
+    # builds) from every sweep — per-sweep latency is dominated by the
+    # number of tiny exchange/broadcast stages at coarse levels.
+    state = truncate(labels.join(vol_node, "id").select("id", "label", "vol"))
     change = False
     moves_history: list[int] = []
     idle_sweeps = 0
@@ -133,11 +136,7 @@ def _move_phase(
             .agg(F.sum("weight").alias("aff"))
         )
 
-        vol_comm = (
-            state.join(vol_node, "id")
-            .groupBy("label")
-            .agg(F.sum("vol").alias("vol_c"))
-        )
+        vol_comm = state.groupBy("label").agg(F.sum("vol").alias("vol_c"))
 
         # Within one node, Δ(nc) = [aff/ω − γ·vol·vol_D/(2ω²)] + const(id)
         # (aff_C, vol, vol_C∖u are the same for every candidate of u), so
@@ -146,10 +145,9 @@ def _move_phase(
         # the window sort-shuffle and the aff_own self-join. The full Δ
         # (same formula as PLM.cpp:135-143) is recomputed for the winner
         # to apply the Δ>0 gate exactly.
-        own = state.select("id", F.col("label").alias("c"))
+        own = state.select("id", F.col("label").alias("c"), "vol")
         scored = (
             aff.join(own, "id")
-            .join(vol_node, "id")
             .join(
                 vol_comm.select(F.col("label").alias("nc"), F.col("vol_c").alias("vol_d")),
                 "nc",
@@ -208,15 +206,19 @@ def _move_phase(
             F.when(F.col("gate"), F.col("new_label"))
             .otherwise(F.col("label"))
             .alias("label"),
+            "vol",
             F.coalesce("gate", F.lit(False)).alias("moved"),
             F.col("new_label").isNotNull().alias("improvable"),
         )
-        merged = truncate(merged, release=state)
+        # Inline truncate: the convergence-counter aggregation doubles as
+        # the cache-populating action (one job instead of count + agg).
+        merged = merged.localCheckpoint(eager=True).persist()
         counts = merged.agg(
             F.count_if("moved").alias("nm"), F.count_if("improvable").alias("ni")
         ).first()
+        state.unpersist()
         n_moved, n_improvable = int(counts["nm"]), int(counts["ni"])
-        state = merged.select("id", "label")
+        state = merged.select("id", "label", "vol")
         moves_history.append(n_moved)
         if n_moved > 0:
             change = True
@@ -230,8 +232,7 @@ def _move_phase(
         sweep += 1
 
     sym.unpersist()
-    vol_node.unpersist()
-    return state, change, moves_history
+    return state.select("id", "label"), change, moves_history
 
 
 # --------------------------------------------------------------- local tail
