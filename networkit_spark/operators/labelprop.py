@@ -165,8 +165,13 @@ def label_propagation(
 
         iterations += 1
         snap = ckpt.save(merged, iterations, None)
-        n_updated = snap.filter("changed").count()
-        history.append({"iteration": iterations, "updated": int(n_updated)})
+        if threshold < 0:
+            # Fixed-iteration mode: the loop never stops on the update
+            # count, so skip the per-sweep count job entirely.
+            history.append({"iteration": iterations, "updated": None})
+        else:
+            n_updated = snap.filter("changed").count()
+            history.append({"iteration": iterations, "updated": int(n_updated)})
         state = snap
 
     sym.unpersist()
