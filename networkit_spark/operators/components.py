@@ -208,11 +208,13 @@ def connected_components_twophase(
 
     Plan per round: two groupBy-min shuffles + two distinct shuffles on
     the shrinking edge set (edges contract toward stars, so per-round
-    volume drops geometrically). Convergence = exact edge-set fixed
-    point (count + anti-join, no probabilistic hashing). At the fixed
-    point the edge set is a star per component rooted at its minimum id
-    — the same canonical labels as hash-min (`connected_components`),
-    asserted in tests.
+    volume drops geometrically). Convergence: the fixed point is exactly
+    a min-rooted star forest in the u>v orientation — every u appears
+    once and no u is another edge's v — so it's detected with two cheap
+    scans of the cached edge set BEFORE each round (no paid-in-full
+    confirmation round, no probabilistic hashing). At the fixed point
+    the labels equal hash-min's (min id per component) — asserted in
+    tests.
 
     Reference analog: ParallelConnectedComponents.cpp:65-76 coarsens
     after 8 iterations — the same contraction idea, made the whole
@@ -230,23 +232,34 @@ def connected_components_twophase(
     edges = truncate(und)
     n_edges = edges.count()
 
+    def _is_star_forest(e: DataFrame, n_e: int) -> bool:
+        """u>v-oriented edge set is a min-rooted star forest ⟺ every u
+        appears exactly once AND no u is also some edge's v (no chains).
+        Such a star's root v is smaller than all its leaves, i.e. the
+        component minimum — the algorithm's fixed point."""
+        if n_e == 0:
+            return True
+        if e.select("u").distinct().count() != n_e:
+            return False
+        return (
+            e.join(e.select(F.col("v").alias("u")), "u", "left_semi")
+            .limit(1)
+            .count()
+            == 0
+        )
+
     rounds = 0
     history: list[dict] = []
-    while rounds < max_rounds:
+    while rounds < max_rounds and not _is_star_forest(edges, n_edges):
         arcs = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         new_edges = truncate(_small_star(_large_star(arcs)))
         rounds += 1
         n_new = new_edges.count()
-        changed = n_new != n_edges or (
-            new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() > 0
-        )
         history.append({"iteration": rounds, "edges": int(n_new)})
-        edges.unpersist()  # after the anti-join — the snapshot is consumed
+        edges.unpersist()
         edges, n_edges = new_edges, n_new
-        if not changed:
-            break
 
     labels = (
         graph.vertices()
