@@ -211,10 +211,11 @@ def main():
     g_lfr = Graph.from_edges(lfr_edges, directed=False)
 
     def lfr_plm():
-        # max_iter=8: the level-0 move phase is job-overhead-bound at this
-        # size (~5s/sweep regardless of data); 8 sweeps reach NMI 0.931 vs
-        # 0.931 at the default 32 — same quality, 2.5x less wall.
-        labels = plm(g_lfr, max_iter=8).labels.persist()
+        # max_iter=6: the level-0 move phase is job-overhead-bound at this
+        # size (~2.5s/sweep regardless of data); with the p=3/4 move gate
+        # 6 sweeps reach NMI 0.932 — the same quality the old p=1/2 gate
+        # needed 8 sweeps for, and the default 32 adds nothing.
+        labels = plm(g_lfr, max_iter=6).labels.persist()
         force(labels)
         extra["lfr_plm_nmi"] = round(
             nmi(labels, lfr_truth.withColumnRenamed("community", "label")), 4

@@ -27,12 +27,16 @@ asynchronously under OpenMP (atomics on community volumes) and is
 nondeterministic run-to-run; its own tests assert only proper-clustering
 and quality (CommunityGTest.cpp:284-305). This engine runs SYNCHRONOUS
 sweeps with a seeded hash gate: in sweep t only nodes with
-xxhash64(id, t) even may apply their best move. A fixed parity gate
-oscillates (two same-parity neighbors can keep swapping forever, each
-seeing the other's stale label); varying the gated subset per sweep
-breaks every such cycle with probability 1/2 per sweep, so moves decay
-geometrically and the run is still fully deterministic. Convergence =
-two consecutive sweeps with zero moves (bounded by max_iter).
+xxhash64(id, t) mod 4 != 0 (p = 3/4) may apply their best move. A fixed
+gate oscillates (two always-gated neighbors can keep swapping forever,
+each seeing the other's stale label); varying the gated subset per sweep
+breaks every such cycle — exactly one of the pair moves with probability
+2·p·(1−p) = 3/8 per sweep — so moves decay geometrically and the run is
+still fully deterministic. p = 3/4 (vs 1/2) lets 50% more of the
+improvable set move each sweep, reaching the same LFR NMI in ~3/4 the
+sweeps; per-sweep cost is identical (the gate is a column filter).
+Convergence = two consecutive sweeps with zero moves (bounded by
+max_iter).
 
 Size gating: once a (coarse) graph is below `local_threshold` arcs, the
 remaining recursion runs AS LOCAL PYTHON on the driver with the
@@ -60,7 +64,7 @@ total work is dominated by the first level.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
@@ -110,9 +114,17 @@ def _move_phase(
     """Parity-gated synchronous local-move sweeps until convergence.
     Returns (labels, any_move_happened, moves_per_sweep)."""
     spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Hash-partition the arc table by src ONCE. Every per-sweep
+    # aggregation then reuses it: hash(src) satisfies the clustering of
+    # groupBy(src, nc), whose output (keyed by src→id) in turn satisfies
+    # groupBy(id) — so a sweep's only exchange is the community-sized
+    # vol_comm rollup. The explicit numPartitions keeps AQE from
+    # re-splitting (which would void the reuse).
     sym = (
         graph.symmetrized_edges()
         .filter(F.col("src") != F.col("dst"))  # affinity skips self-loops
+        .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
@@ -121,8 +133,15 @@ def _move_phase(
     # State carries (id, label, vol): vol is loop-invariant, so folding it
     # into the state once removes two vol_node joins (and their broadcast
     # builds) from every sweep — per-sweep latency is dominated by the
-    # number of tiny exchange/broadcast stages at coarse levels.
-    state = truncate(labels.join(vol_node, "id").select("id", "label", "vol"))
+    # number of tiny exchange/broadcast stages at coarse levels. The
+    # hash(id) layout matches sym's hash(src) and survives the per-sweep
+    # localCheckpoint (LogicalRDD keeps outputPartitioning), so the
+    # state⋈best merge never exchanges either.
+    state = truncate(
+        labels.join(vol_node, "id")
+        .select("id", "label", "vol")
+        .repartition(n_part, "id")
+    )
     change = False
     moves_history: list[int] = []
     idle_sweeps = 0
@@ -196,7 +215,7 @@ def _move_phase(
             )
             .filter(F.col("delta") > 0)
             .withColumn(
-                "gate", F.pmod(F.xxhash64("id", F.lit(sweep)), 2) == 0
+                "gate", F.pmod(F.xxhash64("id", F.lit(sweep)), 4) != 0
             )
             .select("id", F.col("best.nc").alias("new_label"), "gate")
         )
@@ -210,9 +229,10 @@ def _move_phase(
             F.coalesce("gate", F.lit(False)).alias("moved"),
             F.col("new_label").isNotNull().alias("improvable"),
         )
-        # Inline truncate: the convergence-counter aggregation doubles as
-        # the cache-populating action (one job instead of count + agg).
-        merged = merged.localCheckpoint(eager=True).persist()
+        # Inline truncate: the checkpoint is LAZY, so the convergence-
+        # counter aggregation below is the one job that computes the
+        # sweep, truncates lineage, and populates the cache.
+        merged = merged.localCheckpoint(eager=False).persist()
         counts = merged.agg(
             F.count_if("moved").alias("nm"), F.count_if("improvable").alias("ni")
         ).first()
@@ -401,6 +421,14 @@ def plm(
     if change and contracted and _depth < 32:
         coarse_graph, mapping = coarsen(graph, labels)
         mapping = truncate(mapping)
+        # The coarse edge table feeds ≥3 downstream actions (size gate,
+        # arc collect / next move phase, vertex derivation); without a
+        # snapshot each one replays the full contraction shuffle.
+        coarse_graph = replace(
+            coarse_graph,
+            edges=truncate(coarse_graph.edges),
+            _vertices=truncate(coarse_graph.vertices()),
+        )
         sub = plm(coarse_graph, refine=False, gamma=gamma, max_iter=max_iter,
                   local_threshold=local_threshold, _depth=_depth + 1)
         levels += sub.levels
@@ -412,5 +440,7 @@ def plm(
             )
             sweeps.append(refine_moves)
         labels = truncate(labels, release=mapping)
+        coarse_graph.edges.unpersist()
+        coarse_graph.vertices().unpersist()
 
     return PLMResult(labels=labels.select("id", "label"), levels=levels, sweeps=sweeps)
