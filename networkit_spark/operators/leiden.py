@@ -38,7 +38,7 @@ community tables)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import pandas as pd
 
@@ -251,6 +251,14 @@ def leiden(
             graph, refined.select("id", F.col("refined").alias("label"))
         )
         mapping = truncate(mapping)
+        # Snapshot the coarse level: its edge table feeds the recursion's
+        # size gate plus either the arc collect (local tail) or the next
+        # move phase — uncached, each replays the contraction shuffle.
+        coarse_graph = replace(
+            coarse_graph,
+            edges=truncate(coarse_graph.edges),
+            _vertices=truncate(coarse_graph.vertices()),
+        )
         # the aggregate level restarts its move phase from singletons (a
         # simplification vs Traag's keep-P initialization; the
         # connectivity guarantee and contraction monotonicity hold — the
@@ -260,6 +268,8 @@ def leiden(
         levels += sub.levels
         sweeps.extend(sub.sweeps)
         labels = truncate(prolong(sub.labels, mapping), release=mapping)
+        coarse_graph.edges.unpersist()
+        coarse_graph.vertices().unpersist()
 
     labels = labels.select("id", "label")
     if _depth == 0:
