@@ -1228,3 +1228,71 @@ JOIN cn ON cn.u = c.u AND cn.v = c.v
 JOIN deg du ON du.id = c.u
 JOIN deg dv ON dv.id = c.v
 """
+
+
+def _walk_u_sql(walk: str, pos: int, cand: str, seed: int) -> str:
+    """The engine's seeded uniform draw (operators/embedding.py _u):
+    three-round quadratic hash mod 1e9+7, exact int64 in both engines."""
+    m = 1_000_000_007
+    h1 = f"(({walk})*2654435761 + {pos}*40503 + ({cand})*97 + {seed}*1000003) % {m}"
+    h2 = f"((h1*h1 + 2654435761*h1 + 40503) % {m})"
+    h3 = f"((h2*h2 + 97*h2 + 1000003) % {m})"
+    # inline h1/h2 (DuckDB lacks lateral aliasing inside one expression)
+    h2_full = h2.replace("h1", f"({h1})")
+    h3_full = h3.replace("h2", f"({h2_full})")
+    return f"(CAST({h3_full} + 1 AS DOUBLE) / 1000000008.0)"
+
+
+def node2vec_walks_sql(
+    walk_length: int = 4, p: float = 0.5, q: float = 2.0, seed: int = 42
+) -> str:
+    """Exact twin of queries.q_node2vec_walks: one walk per node over the
+    undirected graph (sym arcs), first hop uniform, later hops
+    Efraimidis–Vassilvitskii weighted by the reference's p/q bias
+    (BiasedRandomWalk.cpp:80-90), ties toward the smaller candidate."""
+    steps = []
+    u1 = _walk_u_sql("v.id", 1, "a.dst", seed)
+    steps.append(f"""
+s1 AS (
+  SELECT walk, prev, cur FROM (
+    SELECT v.id AS walk, v.id AS prev, a.dst AS cur,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.id ORDER BY {u1} DESC, a.dst ASC
+           ) AS rn
+    FROM v JOIN sym a ON a.src = v.id
+  ) WHERE rn = 1
+)""".strip())
+    for pos in range(2, walk_length):
+        un = _walk_u_sql("t.walk", pos, "a.dst", seed)
+        steps.append(f"""
+s{pos} AS (
+  SELECT walk, prev, cur FROM (
+    SELECT t.walk, t.cur AS prev, a.dst AS cur,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.walk
+             ORDER BY ln({un}) / (
+               CASE
+                 WHEN a.dst = t.prev THEN a.weight / {p}
+                 WHEN nb.pa IS NOT NULL THEN a.weight
+                 ELSE a.weight / {q}
+               END
+             ) DESC, a.dst ASC
+           ) AS rn
+    FROM s{pos - 1} t
+    JOIN sym a ON a.src = t.cur
+    LEFT JOIN (SELECT DISTINCT src AS pa, dst AS pb FROM sym) nb
+      ON nb.pa = t.prev AND nb.pb = a.dst
+  ) WHERE rn = 1
+)""".strip())
+    unions = ["SELECT id AS walk, 0 AS pos, id AS node FROM v"]
+    for pos in range(1, walk_length):
+        unions.append(f"SELECT walk, {pos} AS pos, cur AS node FROM s{pos}")
+    body = "\nUNION ALL\n".join(unions)
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {EDGES_CTE},
+{steps_sql}
+SELECT CAST(walk AS BIGINT) AS walk, CAST(pos AS INTEGER) AS pos,
+       CAST(node AS BIGINT) AS node
+FROM ({body})
+"""

@@ -766,3 +766,21 @@ def q_ivf_knn_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"ivf_knn_full_probe": q_ivf_knn_full_probe})
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic biased second-order walks (Node2Vec's corpus stage,
+    BiasedRandomWalk.cpp:107-140) over the undirected link graph: one
+    4-step walk per node, p=0.5 / q=2.0, every draw a seeded integer
+    hash — the oracle replays the identical arithmetic as one CTE per
+    step (oracles.node2vec_walks_sql)."""
+    from networkit_spark.operators.embedding import biased_random_walks
+
+    g = _undirected_graph(spark, sf_dir)
+    w = biased_random_walks(
+        g, p=0.5, q=2.0, walk_length=4, walks_per_node=1, seed=42
+    )
+    return w.select("walk", F.col("pos").cast("int").alias("pos"), "node")
+
+
+QUERIES.update({"node2vec_walks": q_node2vec_walks})
