@@ -1,0 +1,208 @@
+"""EdmondsKarp s-t maximum flow / minimum cut.
+
+Reference: networkit/cpp/flow/EdmondsKarp.cpp:20-57 (BFS augmenting
+paths carrying `gain` = the path's bottleneck residual), run() loop
+(flow += gain until the BFS no longer reaches the sink), getMaxFlow /
+getSourceSet / getFlow accessors, fixtures EdmondsKarpGTest.cpp:18-80.
+
+Semantics reproduced:
+- shortest (fewest-hop) augmenting paths: each augmentation is a BFS on
+  the residual graph, exactly the reference's `BFS()`; `gain[v]` is
+  folded into the frontier state like EdmondsKarp.cpp:42 so the
+  bottleneck is known when the sink is reached.
+- undirected edges carry capacity in both directions (the reference's
+  signed flow on an undirected edge id ≡ two anti-parallel arcs; the
+  max-flow value and min cut are identical).
+- getSourceSet = nodes the FINAL failed residual BFS reaches
+  (EdmondsKarp.cpp:139-150 does the same reachability pass).
+- flows are reported as net flow per original arc direction, so
+  getFlow(u, v) matches the reference's value on the direction the
+  edge was inserted with.
+
+Spark shape: the distributed piece is the residual BFS — a frontier
+semi-join loop over the capacity table (hash-partitioned by src once)
+with the residual computed per pass from two broadcast joins against
+the CURRENT flow table. The flow table itself is path-support sized
+(≤ augmentations × path length rows), lives as a broadcast-size
+DataFrame mirrored on the driver, and is the only state the
+augmentation updates. Edmonds-Karp is O(V·E²) worst case — a cut/flow
+primitive, not a corpus-scan kernel; at web scale the win is that the
+reachability work (the E-sized part) is the distributed half.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.iterative import truncate
+
+
+@dataclass
+class MaxFlowResult:
+    value: float
+    flows: DataFrame  # (src, dst, flow) net flow per original arc, > 0 only
+    source_set: DataFrame  # (id) — the source side of a minimum cut
+
+
+def max_flow(
+    graph: Graph,
+    source: int,
+    sink: int,
+    max_augmentations: int = 10_000,
+) -> MaxFlowResult:
+    """Edmonds-Karp with BFS-carried bottleneck gains."""
+    if source == sink:
+        raise ValueError("source and sink must differ")
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    arcs = graph.edges.select("src", "dst", "weight")
+    if not graph.directed:
+        arcs = graph.symmetrized_edges().select("src", "dst", "weight")
+    arcs = (
+        arcs.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("cap"))
+    )
+    # make sure the pushback arc exists for every forward arc (capacity 0)
+    rev = arcs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(0.0).alias("cap")
+    )
+    arcs_all = truncate(
+        arcs.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.max("cap").alias("cap"))
+        .repartition(n_part, "src")
+    )
+
+    flow: dict[tuple[int, int], float] = {}  # net: at most one of (u,v)/(v,u)
+    value = 0.0
+    inf = float("inf")
+
+    def _flow_df():
+        if not flow:
+            return spark.createDataFrame([], "fu long, fv long, f double")
+        return spark.createDataFrame(
+            [(int(u), int(v), float(x)) for (u, v), x in flow.items()],
+            "fu long, fv long, f double",
+        )
+
+    def _residual():
+        fdf = F.broadcast(_flow_df())
+        r = (
+            arcs_all.join(
+                fdf.select(
+                    F.col("fu").alias("src"), F.col("fv").alias("dst"),
+                    F.col("f").alias("f_fwd"),
+                ),
+                ["src", "dst"],
+                "left",
+            )
+            .join(
+                fdf.select(
+                    F.col("fv").alias("src"), F.col("fu").alias("dst"),
+                    F.col("f").alias("f_rev"),
+                ),
+                ["src", "dst"],
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                (
+                    F.col("cap")
+                    - F.coalesce("f_fwd", F.lit(0.0))
+                    + F.coalesce("f_rev", F.lit(0.0))
+                ).alias("rcap"),
+            )
+            .filter(F.col("rcap") > 0)
+        )
+        return r
+
+    def _bfs(residual: DataFrame):
+        """Frontier BFS carrying (gain, pred); returns (pred_map for the
+        path via point lookups, gain_at_sink, visited_df)."""
+        visited = spark.createDataFrame(
+            [(int(source), None, inf)], "id long, pred long, gain double"
+        )
+        visited = truncate(visited)
+        frontier = visited
+        while True:
+            cand = (
+                frontier.join(residual, frontier["id"] == residual["src"])
+                .select(
+                    F.col("dst").alias("nid"),
+                    F.col("id").alias("npred"),
+                    F.least(F.col("gain"), F.col("rcap")).alias("ngain"),
+                )
+                .join(visited.select(F.col("id").alias("nid")), "nid", "left_anti")
+            )
+            nxt = (
+                cand.groupBy("nid")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("ngain"), (-F.col("npred")).alias("np"), F.col("npred")
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    F.col("nid").alias("id"),
+                    F.col("b.npred").alias("pred"),
+                    F.col("b.ngain").alias("gain"),
+                )
+            )
+            nxt = truncate(nxt)
+            if nxt.limit(1).count() == 0:
+                return None, 0.0, visited
+            hit = nxt.filter(F.col("id") == sink).first()
+            new_visited = truncate(visited.unionByName(nxt), release=visited)
+            if hit is not None:
+                return new_visited, float(hit["gain"]), new_visited
+            visited = new_visited
+            frontier = nxt
+
+    visited_final = None
+    for _ in range(max_augmentations):
+        residual = _residual()
+        pred_df, gain, visited = _bfs(residual)
+        if pred_df is None or gain <= 0:
+            visited_final = visited
+            break
+        # backtrack sink → source; shortest paths are diameter-bounded,
+        # so the point lookups are a handful of broadcast-filter jobs
+        path = []
+        cur = sink
+        while cur != source:
+            row = pred_df.filter(F.col("id") == cur).first()
+            prev = int(row["pred"])
+            path.append((prev, cur))
+            cur = prev
+        for u, v in path:
+            back = flow.get((v, u), 0.0)
+            if back >= gain:
+                flow[(v, u)] = back - gain
+            else:
+                flow[(u, v)] = flow.get((u, v), 0.0) + gain - back
+                if (v, u) in flow:
+                    del flow[(v, u)]
+            if flow.get((u, v)) == 0.0:
+                del flow[(u, v)]
+            if flow.get((v, u)) == 0.0:
+                del flow[(v, u)]
+        value += gain
+    else:
+        raise RuntimeError(
+            f"max_flow did not converge within {max_augmentations} augmentations"
+        )
+
+    flows = _flow_df().select(
+        F.col("fu").alias("src"), F.col("fv").alias("dst"), F.col("f").alias("flow")
+    )
+    source_set = visited_final.select("id")
+    arcs_all.unpersist()
+    return MaxFlowResult(value=value, flows=truncate(flows), source_set=truncate(source_set))

@@ -177,3 +177,96 @@ def topological_sort(graph: Graph) -> DataFrame:
     return out if out is not None else graph.vertices().withColumn(
         "level", F.lit(0).cast("long")
     )
+
+
+def dfs_from(graph: Graph, source: int, max_local_nodes: int = 5_000_000) -> DataFrame:
+    """(id, dfs_order) — depth-first visit order from `source`, exactly
+    Traversal::DFSfrom (include/networkit/graph/DFS.hpp:20-38): stack
+    of discovered-but-unvisited nodes, a node is MARKED WHEN PUSHED, and
+    neighbors are pushed in ascending id order (this engine's canonical
+    adjacency order; the reference uses insertion order, which its own
+    callers never rely on).
+
+    Physical note: DFS order is P-complete — no distributed formulation
+    exists (SURVEY.md §2.4 scopes it out of the kernel set; the
+    reference uses it only for driver-side callbacks). The distributed
+    half here is confining the work to the REACHABLE component (frontier
+    BFS + adjacency collect of that component only); the stack replay is
+    driver-local and guarded by `max_local_nodes`.
+    """
+    reach = bfs_distances(graph, source).select("id")
+    n_reach = reach.count()
+    if n_reach > max_local_nodes:
+        raise ValueError(
+            f"reachable component has {n_reach} nodes > max_local_nodes="
+            f"{max_local_nodes}; DFS order is inherently sequential"
+        )
+    sym = graph.edges if graph.directed else graph.symmetrized_edges()
+    adj_rows = (
+        sym.join(reach.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    for u in adj:
+        adj[u].sort()
+
+    marked = {source}
+    stack = [source]
+    order = []
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        for v in adj.get(u, []):
+            if v not in marked:
+                stack.append(v)
+                marked.add(v)
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(int(u), int(i)) for i, u in enumerate(order)], "id long, dfs_order long"
+    )
+
+
+def dfs_edges_from(graph: Graph, source: int, max_local_nodes: int = 5_000_000) -> DataFrame:
+    """(src, dst, visit_order) — DFS tree-edge visit order, exactly
+    Traversal::DFSEdgesFrom (DFS.hpp:46-64: the handle fires when an
+    UNMARKED neighbor is first seen from a popped node). Same physical
+    strategy and guard as dfs_from."""
+    reach = bfs_distances(graph, source).select("id")
+    n_reach = reach.count()
+    if n_reach > max_local_nodes:
+        raise ValueError(
+            f"reachable component has {n_reach} nodes > max_local_nodes="
+            f"{max_local_nodes}; DFS order is inherently sequential"
+        )
+    sym = graph.edges if graph.directed else graph.symmetrized_edges()
+    adj_rows = (
+        sym.join(reach.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    for u in adj:
+        adj[u].sort()
+
+    marked = {source}
+    stack = [source]
+    edges = []
+    while stack:
+        u = stack.pop()
+        for v in adj.get(u, []):
+            if v not in marked:
+                edges.append((u, v))
+                stack.append(v)
+                marked.add(v)
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(int(u), int(v), int(i)) for i, (u, v) in enumerate(edges)],
+        "src long, dst long, visit_order long",
+    )
