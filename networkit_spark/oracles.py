@@ -1296,3 +1296,26 @@ SELECT CAST(walk AS BIGINT) AS walk, CAST(pos AS INTEGER) AS pos,
        CAST(node AS BIGINT) AS node
 FROM ({body})
 """
+
+
+def pivot_mds_centered_sql(modulus: int = 97) -> str:
+    """Exact twin of queries.q_pivot_mds_centered: hop distances from
+    the pivots (id ≡ 0 mod modulus) over sym, then the reference's
+    raw-distance double-centering (PivotMDS.cpp:49-70) with
+    grandMean = T/(n·k) (a single rounding — see operators/layout.py)."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte_filtered(f"id % {modulus} = 0")},
+piv AS (SELECT id AS p, ROW_NUMBER() OVER (ORDER BY id) - 1 AS j
+        FROM v WHERE id % {modulus} = 0),
+nk AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM v) AS n,
+              (SELECT CAST(COUNT(*) AS DOUBLE) FROM piv) AS k),
+c AS (SELECT d.id, piv.j, CAST(d.dist AS DOUBLE) AS dist
+      FROM dists d JOIN piv ON piv.p = d.s),
+rm AS (SELECT id, SUM(dist) / (SELECT k FROM nk) AS row_mean FROM c GROUP BY id),
+cm AS (SELECT j, SUM(dist) / (SELECT n FROM nk) AS col_mean FROM c GROUP BY j),
+g AS (SELECT SUM(dist) / ((SELECT n FROM nk) * (SELECT k FROM nk)) AS grand FROM c)
+SELECT c.id, CAST(c.j AS INTEGER) AS j,
+       ROUND(c.dist - rm.row_mean - cm.col_mean + g.grand, 9) AS val
+FROM c JOIN rm ON rm.id = c.id JOIN cm ON cm.j = c.j CROSS JOIN g
+"""

@@ -784,3 +784,20 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"node2vec_walks": q_node2vec_walks})
+
+
+def q_pivot_mds_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PivotMDS's distributed half — the double-centered pivot-distance
+    matrix (PivotMDS.cpp:49-70) over the undirected link graph with the
+    SQL-replicable pivot rule id % 97 == 0. The k×k spectral step is
+    pytest-locked against a numpy replica (tests/test_layout.py)."""
+    from networkit_spark.operators.layout import centered_pivot_matrix
+
+    g = _undirected_graph(spark, sf_dir)
+    centered, _, _ = centered_pivot_matrix(g, pivot_modulus=97)
+    return centered.select(
+        "id", F.col("j").cast("int").alias("j"), F.round("val", 9).alias("val")
+    )
+
+
+QUERIES.update({"pivot_mds_centered": q_pivot_mds_centered})
