@@ -81,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_full_probe": o.knn_sql(),
         "node2vec_walks": o.node2vec_walks_sql(),
         "pivot_mds_centered": o.pivot_mds_centered_sql(),
+        "pagerank_nibble": o.pagerank_nibble_sql(),
         "ann_lsh_buckets": o.ann_buckets_sql(),
         "ann_lsh_top5": o.ann_topk_sql(),
         "embedding_near_dups": o.embedding_near_dup_sql(threshold=0.4),

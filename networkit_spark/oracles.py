@@ -1319,3 +1319,64 @@ SELECT c.id, CAST(c.j AS INTEGER) AS j,
        ROUND(c.dist - rm.row_mean - cm.col_mean + g.grand, 9) AS val
 FROM c JOIN rm ON rm.id = c.id JOIN cm ON cm.j = c.j CROSS JOIN g
 """
+
+
+def pagerank_nibble_sql(
+    alpha: float = 0.15, eps: float = 1e-5, rounds: int = 24
+) -> str:
+    """Exact twin of queries.q_pagerank_nibble: the synchronous batched
+    ACL push unrolled `rounds` times (converged supersteps are no-ops,
+    so any count past convergence is exact — measured ≤16 at sf0.001,
+    ≤8 at sf0.01), then the conductance sweep. Float constants are
+    repr()'d from the same Python doubles the Spark plan uses, and every
+    arithmetic expression mirrors the Spark operation order, so the
+    push is bit-identical."""
+    keep = (1.0 - alpha) / 2.0
+    send = 1.0 - alpha
+    parts = [
+        """vol AS MATERIALIZED (SELECT src AS id, SUM(weight) AS vol
+  FROM sym GROUP BY src)""",
+        """st0 AS (SELECT (SELECT MIN(id) FROM v) AS id,
+  0.0 AS p, 1.0 AS res)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+act{r} AS MATERIALIZED (
+  SELECT s.id, s.p, s.res, vl.vol, (s.res >= {eps!r} * vl.vol) AS a
+  FROM st{r - 1} s JOIN vol vl ON vl.id = s.id)""".strip())
+        parts.append(f"""
+snd{r} AS MATERIALIZED (
+  SELECT e.dst AS id,
+         SUM({send!r} * a.res * e.weight / (2.0 * a.vol)) AS m
+  FROM act{r} a JOIN sym e ON e.src = a.id WHERE a.a GROUP BY e.dst)""".strip())
+        parts.append(f"""
+st{r} AS MATERIALIZED (
+  SELECT COALESCE(a.id, s.id) AS id,
+         COALESCE(a.p, 0.0)
+           + CASE WHEN COALESCE(a.a, FALSE) THEN {alpha!r} * a.res
+                  ELSE 0.0 END AS p,
+         CASE WHEN COALESCE(a.a, FALSE) THEN {keep!r} * a.res
+              ELSE COALESCE(a.res, 0.0) END + COALESCE(s.m, 0.0) AS res
+  FROM act{r} a FULL OUTER JOIN snd{r} s ON s.id = a.id)""".strip())
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body},
+sup AS (SELECT s.id, s.p, vl.vol FROM st{rounds} s
+        JOIN vol vl ON vl.id = s.id WHERE s.p > 0),
+rnk AS MATERIALIZED (SELECT id, vol,
+        ROW_NUMBER() OVER (ORDER BY p / vol DESC, id ASC) AS rk FROM sup),
+tot AS (SELECT SUM(vol) AS t FROM vol),
+ia AS (SELECT GREATEST(ru.rk, rv.rk) AS rk, SUM(e.weight) AS w_in
+       FROM sym e JOIN rnk ru ON ru.id = e.src
+       JOIN rnk rv ON rv.id = e.dst GROUP BY 1),
+sw AS (SELECT r.rk,
+              SUM(r.vol) OVER (ORDER BY r.rk) AS cv,
+              SUM(COALESCE(ia.w_in, 0.0)) OVER (ORDER BY r.rk) AS ci
+       FROM rnk r LEFT JOIN ia ON ia.rk = r.rk),
+best AS (SELECT rk FROM (
+           SELECT rk, (cv - ci) / LEAST(cv, (SELECT t FROM tot) - cv) AS c
+           FROM sw WHERE rk < (SELECT COUNT(*) FROM v))
+         ORDER BY c ASC, rk ASC LIMIT 1)
+SELECT r.id FROM rnk r WHERE r.rk <= (SELECT rk FROM best)
+"""

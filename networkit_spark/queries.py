@@ -801,3 +801,20 @@ def q_pivot_mds_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"pivot_mds_centered": q_pivot_mds_centered})
+
+
+def q_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRankNibble community from the smallest vertex id
+    (PageRankNibble.cpp:84-89): ACL push (synchronous batched
+    supersteps) + best-conductance sweep prefix. The oracle unrolls the
+    same batched push to a fixed superstep count past convergence and
+    replays the sweep with window cumsums."""
+    from networkit_spark.operators.scd import page_rank_nibble
+
+    g = _undirected_graph(spark, sf_dir)
+    seed = int(g.vertices().agg(F.min("id")).first()[0])
+    res = page_rank_nibble(g, seed, alpha=0.15, eps=1e-5)
+    return res.community.select("id")
+
+
+QUERIES.update({"pagerank_nibble": q_pagerank_nibble})
