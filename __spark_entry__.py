@@ -82,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks": o.node2vec_walks_sql(),
         "pivot_mds_centered": o.pivot_mds_centered_sql(),
         "pagerank_nibble": o.pagerank_nibble_sql(),
+        "degree_preserving_shuffle": o.degree_preserving_shuffle_sql(),
         "ann_lsh_buckets": o.ann_buckets_sql(),
         "ann_lsh_top5": o.ann_topk_sql(),
         "embedding_near_dups": o.embedding_near_dup_sql(threshold=0.4),

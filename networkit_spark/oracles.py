@@ -1380,3 +1380,30 @@ best AS (SELECT rk FROM (
          ORDER BY c ASC, rk ASC LIMIT 1)
 SELECT r.id FROM rnk r WHERE r.rk <= (SELECT rk FROM best)
 """
+
+
+def _mix_sql(h1_expr: str) -> str:
+    """SQL twin of operators/randomization._mix's quadratic rounds over
+    a caller-supplied linear combination (already mod M)."""
+    m = 1_000_000_007
+    h2 = f"((({h1_expr})*({h1_expr}) + 2654435761*({h1_expr}) + 40503) % {m})"
+    return f"((({h2})*({h2}) + 97*({h2}) + 1000003) % {m})"
+
+
+def degree_preserving_shuffle_sql(seed: int = 7) -> str:
+    """Exact twin of queries.q_degree_preserving_shuffle: within each
+    degree class, zip the seeded-hash rank with the id rank. The
+    engine's giant-class salt is 0 for every class below 1e6 nodes, so
+    it is the identity at oracle scale."""
+    m = 1_000_000_007
+    h1 = f"((id*2654435761 + {seed}*40503) % {m})"
+    return f"""
+WITH {EDGES_CTE},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+keyed AS (SELECT id, d, {_mix_sql(h1)} AS k FROM deg),
+a AS (SELECT id, d, ROW_NUMBER() OVER (PARTITION BY d ORDER BY k, id) AS r
+      FROM keyed),
+b AS (SELECT id AS new_id, d, ROW_NUMBER() OVER (PARTITION BY d ORDER BY id) AS r
+      FROM keyed)
+SELECT a.id, b.new_id FROM a JOIN b ON a.d = b.d AND a.r = b.r
+"""

@@ -818,3 +818,15 @@ def q_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"pagerank_nibble": q_pagerank_nibble})
+
+
+def q_degree_preserving_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DegreePreservingShuffle permutation of the undirected link graph
+    (seeded-hash rank zip within degree classes — bit-exact SQL twin)."""
+    from networkit_spark.operators.randomization import degree_preserving_shuffle
+
+    g = _undirected_graph(spark, sf_dir)
+    return degree_preserving_shuffle(g, seed=7)
+
+
+QUERIES.update({"degree_preserving_shuffle": q_degree_preserving_shuffle})
