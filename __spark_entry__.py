@@ -104,6 +104,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_scores": o.jaccard_scores_sql(),
         "cc_labels_twophase": o.cc_converged_sql(),
         "katz_3iter": o.katz_sql(),
+        "luby_mis": o.luby_sql(),
+        "sfigality": o.sfigality_sql(),
+        "square_clustering": o.square_clustering_sql(),
         "simhash_near_dups": o.simhash_near_dups_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.

@@ -153,3 +153,111 @@ def eigenvector_centrality(
             break
     ckpt.close()
     return x
+
+
+def sfigality(graph: Graph) -> DataFrame:
+    """(id, score) — Sfigality (networkit/cpp/centrality/Sfigality.cpp:16-28):
+    the fraction of a node's neighbors that have a STRICTLY higher degree,
+    score(u) = |{v ∈ N(u) : deg(u) < deg(v)}| / deg(u). Uses the graph's
+    out-adjacency like the reference's forEdgesOf; isolated vertices get
+    NaN in the reference (0/0) — this engine returns 0.0 (documented
+    deviation; the reference never defines the 0-degree case and its
+    tests avoid it). One degree aggregation + one arc join — no shuffle
+    beyond the degree tables.
+    """
+    deg = graph.out_degrees().select("id", F.col("degree").alias("d"))
+    e = graph.edges.select("src", "dst")
+    scored = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            (
+                F.sum(F.when(F.col("du") < F.col("dv"), 1).otherwise(0))
+                / F.first("du")
+            ).alias("score")
+        )
+    )
+    return (
+        graph.vertices()
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def local_square_clustering(graph: Graph) -> DataFrame:
+    """(id, score) — LocalSquareClusteringCoefficient
+    (networkit/cpp/centrality/LocalSquareClusteringCoefficient.cpp:20-50,
+    Lind–González–Herrmann squares clustering): for every unordered pair
+    (v, w) of neighbors of u,
+
+        squares   += |N(v) ∩ N(w)| − 1          (u itself is always common)
+        potential += deg(v) + deg(w) − |N(v)∩N(w)| − 1 − 2·[v ~ w]
+
+    and score(u) = squares / potential (0 when potential = 0). Raises on
+    directed graphs and self-loops like the reference (:10-17).
+
+    Spark shape: common-neighbor counts cn(a, b) come from ONE wedge
+    self-join aggregation (the triangle-counting plan without orientation);
+    per-node neighbor pairs join against cn + the degree table + an edge
+    semi-flag. Neighbor-pair fan-out is Θ(Σ deg²) — inherent to the
+    definition (the reference's loop is the same work); power-law hubs
+    dominate, so at 100 TB cap or sample hub neighborhoods upstream.
+    """
+    if graph.directed:
+        raise ValueError(
+            "Local square clustering coefficient is not implemented for directed graphs"
+        )
+    if graph.number_of_self_loops():
+        raise ValueError("graph has self-loops; call remove_self_loops() first")
+    sym = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    # cn(a, b): number of common neighbors of a < b (count of wedges a-x-b)
+    cn = (
+        sym.alias("e1")
+        .join(sym.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    # unordered neighbor pairs (v < w) of every center u
+    pairs = (
+        sym.alias("p1")
+        .join(sym.alias("p2"), F.col("p1.src") == F.col("p2.src"))
+        .filter(F.col("p1.dst") < F.col("p2.dst"))
+        .select(
+            F.col("p1.src").alias("u"),
+            F.col("p1.dst").alias("a"),
+            F.col("p2.dst").alias("b"),
+        )
+    )
+    adj = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    per_pair = (
+        pairs.join(cn, ["a", "b"], "left")
+        .join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .join(adj.withColumn("ab", F.lit(1)), ["a", "b"], "left")
+        .select(
+            "u",
+            (F.coalesce("cn", F.lit(0)) - 1).alias("sq"),
+            (
+                F.col("da")
+                + F.col("db")
+                - F.coalesce("cn", F.lit(0))
+                - 1
+                - 2 * F.coalesce("ab", F.lit(0))
+            ).alias("pot"),
+        )
+    )
+    scored = per_pair.groupBy(F.col("u").alias("id")).agg(
+        F.when(F.sum("pot") > 0, F.sum("sq") / F.sum("pot"))
+        .otherwise(F.lit(0.0))
+        .alias("score")
+    )
+    return (
+        graph.vertices()
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

@@ -1407,3 +1407,122 @@ b AS (SELECT id AS new_id, d, ROW_NUMBER() OVER (PARTITION BY d ORDER BY id) AS 
       FROM keyed)
 SELECT a.id, b.new_id FROM a JOIN b ON a.d = b.d AND a.r = b.r
 """
+
+
+def _luby_u_chain(k: int, seed: int, src: str) -> str:
+    """Three chained CTE selects computing the engine's seeded uniform
+    draw for round k (operators/independent.py _u — change together)."""
+    c = k * 40503 + seed * 1000003
+    return f"""
+d1_{k} AS (SELECT id, wdeg,
+  ((id % 1000003) * 2654435761 + {c}) % 1000000007 AS h FROM {src}),
+d2_{k} AS (SELECT id, wdeg,
+  (h*h + 2654435761*h + 40503) % 1000000007 AS h FROM d1_{k}),
+d3_{k} AS (SELECT id, wdeg,
+  (h*h + 97*h + 1000003) % 1000000007 AS h FROM d2_{k})"""
+
+
+def luby_sql(rounds: int = 16, seed: int = 1) -> str:
+    """Exact twin of operators/independent.luby_independent_set: the
+    seeded-hash draws make every round a pure function of (graph, seed),
+    so the oracle unrolls the round loop (Luby.cpp run()) — active-
+    restricted weighted degree, candidate draw u < 1/(2·wdeg) (wdeg = 0
+    always selected), per-conflict-edge loser drop (smaller wdeg, src on
+    ties), survivor + neighborhood removal. Rounds past convergence are
+    no-ops (empty active ⇒ empty S), so a fixed unroll ≥ the actual
+    round count (4 at sf0.001, 10 at sf0.01 — 16 gives margin) is
+    exact."""
+    parts = [
+        "symm AS MATERIALIZED (SELECT src, dst, weight FROM sym)",
+        "act0 AS MATERIALIZED (SELECT id FROM v)",
+        "mem0 AS (SELECT id FROM v WHERE FALSE)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""
+wdeg{k} AS (
+  SELECT e.src AS id, SUM(e.weight) AS wdeg
+  FROM symm e JOIN act{p} a ON a.id = e.src JOIN act{p} b ON b.id = e.dst
+  GROUP BY e.src),
+st{k} AS (
+  SELECT a.id, COALESCE(w.wdeg, 0.0) AS wdeg
+  FROM act{p} a LEFT JOIN wdeg{k} w ON w.id = a.id),{_luby_u_chain(k, seed, f"st{k}")},
+s{k} AS MATERIALIZED (
+  SELECT id, wdeg FROM d3_{k}
+  WHERE wdeg = 0 OR CAST(h + 1 AS DOUBLE) / 1000000008.0 < 1.0 / (2.0 * wdeg)),
+loser{k} AS (
+  SELECT DISTINCT CASE WHEN su.wdeg > sv.wdeg THEN e.dst ELSE e.src END AS id
+  FROM symm e JOIN s{k} su ON su.id = e.src JOIN s{k} sv ON sv.id = e.dst
+  WHERE e.src < e.dst),
+sp{k} AS MATERIALIZED (SELECT id FROM s{k} WHERE id NOT IN (SELECT id FROM loser{k})),
+rem{k} AS (
+  SELECT id FROM sp{k}
+  UNION
+  SELECT e.dst AS id FROM symm e JOIN sp{k} p ON p.id = e.src),
+act{k} AS MATERIALIZED (SELECT id FROM act{p} WHERE id NOT IN (SELECT id FROM rem{k})),
+mem{k} AS MATERIALIZED (SELECT id FROM mem{p} UNION ALL SELECT id FROM sp{k})""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+SELECT id FROM mem{rounds}
+"""
+
+
+def sfigality_sql() -> str:
+    """Exact twin of operators/centrality.sfigality on the undirected
+    link graph (Sfigality.cpp:16-28): fraction of neighbors with strictly
+    higher degree; isolated vertices 0.0 (engine convention)."""
+    return f"""
+WITH {EDGES_CTE},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src)
+SELECT vv.id,
+       COALESCE(s.score, 0.0) AS score
+FROM v vv
+LEFT JOIN (
+  SELECT e.src AS id,
+         SUM(CASE WHEN du.d < dv.d THEN 1 ELSE 0 END) / ANY_VALUE(du.d) AS score
+  FROM sym e
+  JOIN deg du ON du.id = e.src
+  JOIN deg dv ON dv.id = e.dst
+  GROUP BY e.src
+) s ON s.id = vv.id
+"""
+
+
+def square_clustering_sql() -> str:
+    """Exact twin of operators/centrality.local_square_clustering
+    (LocalSquareClusteringCoefficient.cpp:20-50): per unordered neighbor
+    pair (a, b) of center u, squares += cn(a,b) − 1 and potential +=
+    deg(a) + deg(b) − cn(a,b) − 1 − 2·[a ~ b]; score = Σsq / Σpot."""
+    return f"""
+WITH {EDGES_CTE},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+cn AS (
+  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS c
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst),
+pairs AS (
+  SELECT p1.src AS u, p1.dst AS a, p2.dst AS b
+  FROM sym p1 JOIN sym p2 ON p1.src = p2.src
+  WHERE p1.dst < p2.dst),
+per_pair AS (
+  SELECT pr.u,
+         COALESCE(cn.c, 0) - 1 AS sq,
+         da.d + db.d - COALESCE(cn.c, 0) - 1
+           - 2 * (CASE WHEN adj.src IS NOT NULL THEN 1 ELSE 0 END) AS pot
+  FROM pairs pr
+  LEFT JOIN cn ON cn.a = pr.a AND cn.b = pr.b
+  JOIN deg da ON da.id = pr.a
+  JOIN deg db ON db.id = pr.b
+  LEFT JOIN sym adj ON adj.src = pr.a AND adj.dst = pr.b)
+SELECT vv.id,
+       ROUND(COALESCE(s.score, 0.0), 9) AS score
+FROM v vv
+LEFT JOIN (
+  SELECT u AS id,
+         CASE WHEN SUM(pot) > 0 THEN SUM(sq) / SUM(pot) ELSE 0.0 END AS score
+  FROM per_pair GROUP BY u
+) s ON s.id = vv.id
+"""

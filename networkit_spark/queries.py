@@ -830,3 +830,38 @@ def q_degree_preserving_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"degree_preserving_shuffle": q_degree_preserving_shuffle})
+
+
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set over the undirected link graph —
+    deterministic via seeded-hash draws, so the oracle replays the round
+    loop exactly (oracles.luby_sql; membership set is hash-checked)."""
+    from networkit_spark.operators.independent import luby_independent_set
+
+    g = _undirected_graph(spark, sf_dir)
+    return luby_independent_set(g, seed=1, max_rounds=16).members
+
+
+def q_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import sfigality
+
+    g = _undirected_graph(spark, sf_dir)
+    return sfigality(g)
+
+
+def q_square_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import local_square_clustering
+
+    g = _undirected_graph(spark, sf_dir)
+    return local_square_clustering(g).select(
+        "id", F.round("score", 9).alias("score")
+    )
+
+
+QUERIES.update(
+    {
+        "luby_mis": q_luby_mis,
+        "sfigality": q_sfigality,
+        "square_clustering": q_square_clustering,
+    }
+)
