@@ -107,6 +107,9 @@ def oracle_sql() -> dict[str, str]:
         "luby_mis": o.luby_sql(),
         "sfigality": o.sfigality_sql(),
         "square_clustering": o.square_clustering_sql(),
+        "reachable_nodes": o.reachable_nodes_sql(),
+        "hashing_overlap": o.hashing_overlap_sql(),
+        "seir_census": o.seir_sql(),
         "simhash_near_dups": o.simhash_near_dups_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.

@@ -1526,3 +1526,125 @@ LEFT JOIN (
   FROM per_pair GROUP BY u
 ) s ON s.id = vv.id
 """
+
+
+def reachable_nodes_sql(levels: int = 7) -> str:
+    """Exact twin of operators/reachability.reachable_nodes(exact) on the
+    DIRECTED link graph: transitive-closure doubling over the arcs (+
+    identity), then reachable(u) = |{v : u →* v}|. 2^levels = 128 hops
+    covers the derived graph's directed diameter at every test SF (the
+    SCC oracle's 64-hop closure already converges on the same data)."""
+    parts = [
+        "r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+        "UNION SELECT id AS a, id AS b FROM v)"
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x.a, y.b "
+            f"FROM r{k - 1} x JOIN r{k - 1} y ON x.b = y.a)"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+SELECT a AS id, CAST(COUNT(DISTINCT b) AS BIGINT) AS reachable
+FROM r{levels} GROUP BY a
+"""
+
+
+def _djb2_sql_chain(src: str) -> str:
+    """Eight chained CTE steps computing the reference's djb2 over the
+    little-endian bytes of column `key`, stopping at the first zero byte
+    (operators/overlap.py _djb2 — change together)."""
+    parts = [f"k0 AS (SELECT id, key, CAST(5381 AS BIGINT) AS h, FALSE AS stop FROM {src})"]
+    for i in range(8):
+        b = f"((key >> {8 * i}) & 255)"
+        parts.append(
+            f"k{i + 1} AS (SELECT id, key, "
+            f"CASE WHEN stop OR {b} = 0 THEN h ELSE h * 33 + {b} END AS h, "
+            f"(stop OR {b} = 0) AS stop FROM k{i})"
+        )
+    return ",\n".join(parts)
+
+
+def hashing_overlap_sql(m1: int = 5, m2: int = 7) -> str:
+    """Exact twin of operators/overlap.hashing_overlapper for two input
+    clusterings id % m1 and id % m2 (HashingOverlapper.cpp:44-59 +
+    Partition::compact dense-rank relabeling)."""
+    return f"""
+WITH {EDGES_CTE},
+c1 AS (SELECT id, DENSE_RANK() OVER (ORDER BY id % {m1}) - 1 AS l1 FROM v),
+c2 AS (SELECT id, DENSE_RANK() OVER (ORDER BY id % {m2}) - 1 AS l2 FROM v),
+keyed AS (
+  SELECT a.id, (xor(a.l1, 65535) << 16) | xor(b.l2, 65535) AS key
+  FROM c1 a JOIN c2 b ON a.id = b.id),
+{_djb2_sql_chain("keyed")}
+SELECT id, DENSE_RANK() OVER (ORDER BY h) - 1 AS label FROM k8
+"""
+
+
+def _seir_u_chain(t: int, seed: int, prev: str) -> str:
+    """Contact-draw CTE chain for sweep t: candidates are (infectious
+    src, susceptible dst) arcs; the draw is the engine's quadratic hash
+    (operators/simulation.py _u — change together)."""
+    c = t * 40503 + seed * 1000003
+    return f"""
+cd1_{t} AS (
+  SELECT e.dst,
+    ((e.src % 1000003) * 2654435761 + (e.dst % 1000003) * 97 + {c}) % 1000000007 AS h
+  FROM symm e
+  JOIN {prev} i ON i.id = e.src AND i.st = 2
+  JOIN {prev} s ON s.id = e.dst AND s.st = 0),
+cd2_{t} AS (SELECT dst, (h*h + 2654435761*h + 40503) % 1000000007 AS h FROM cd1_{t}),
+cd3_{t} AS (SELECT dst, (h*h + 97*h + 1000003) % 1000000007 AS h FROM cd2_{t})"""
+
+
+def seir_sql(
+    t_max: int = 8,
+    trans_p: float = 0.3,
+    e_time: int = 2,
+    i_time: int = 3,
+    seed: int = 11,
+) -> str:
+    """Exact twin of operators/simulation.epidemic_seir on the undirected
+    link graph with patient zero = MIN(id): one unrolled CTE block per
+    sweep (synchronous pre-sweep state, seeded-hash contact draws),
+    census rows (zero, t, state, population) per step."""
+    parts = [
+        "symm AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "z AS (SELECT MIN(id) AS zero FROM v)",
+        "st0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT zero FROM z) "
+        "THEN 2 ELSE 0 END AS st, 0 AS ts FROM v)",
+    ]
+    for t in range(t_max):
+        prev = f"st{t}"
+        parts.append(f"""{_seir_u_chain(t, seed, prev)},
+exp{t} AS (
+  SELECT DISTINCT dst AS id FROM cd3_{t}
+  WHERE CAST(h + 1 AS DOUBLE) / 1000000008.0 <= {trans_p!r}),
+nx{t} AS (
+  SELECT s.id, s.st, s.ts,
+    CASE WHEN s.st = 0 AND x.id IS NOT NULL THEN 1
+         WHEN s.st = 1 AND {t} - s.ts >= {e_time} THEN 2
+         WHEN s.st = 2 AND {t} - s.ts >= {i_time} THEN 3
+         ELSE s.st END AS st_new
+  FROM {prev} s LEFT JOIN exp{t} x ON x.id = s.id),
+st{t + 1} AS MATERIALIZED (
+  SELECT id, st_new AS st,
+    CASE WHEN st_new <> st THEN {t} ELSE ts END AS ts
+  FROM nx{t}),
+cen{t} AS (
+  SELECT (SELECT zero FROM z) AS zero, {t} AS t, g.s AS state,
+         COALESCE(c.c, 0) AS population
+  FROM (VALUES (0),(1),(2),(3)) g(s)
+  LEFT JOIN (SELECT st, CAST(COUNT(*) AS BIGINT) AS c
+             FROM st{t + 1} GROUP BY st) c ON c.st = g.s)""")
+    chain = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM cen{t}" for t in range(t_max)
+    )
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+{union}
+"""

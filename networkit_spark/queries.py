@@ -865,3 +865,45 @@ QUERIES.update(
         "square_clustering": q_square_clustering,
     }
 )
+
+
+def q_reachable_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node reachable-vertex counts on the DIRECTED link graph
+    (ReachableNodes exact mode: SCC condensation + transitive-closure
+    doubling); oracle doubles over node-level arcs directly."""
+    from networkit_spark.operators.reachability import reachable_nodes
+
+    g = _directed_graph(spark, sf_dir)
+    return reachable_nodes(g, exact=True).counts
+
+
+def q_hashing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingOverlapper core partition of the two deterministic
+    clusterings id % 5 and id % 7 (bit-exact djb2 + compact twin)."""
+    from networkit_spark.operators.overlap import hashing_overlapper
+
+    g = _undirected_graph(spark, sf_dir)
+    v = g.vertices()
+    c1 = v.select("id", (F.col("id") % 5).alias("label"))
+    c2 = v.select("id", (F.col("id") % 7).alias("label"))
+    return hashing_overlapper(g, [c1, c2])
+
+
+def q_seir_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEIR epidemic census over the undirected link graph, patient zero
+    = min id, seeded-hash contact draws (exact unrolled oracle)."""
+    from networkit_spark.operators.simulation import epidemic_seir
+
+    g = _undirected_graph(spark, sf_dir)
+    return epidemic_seir(
+        g, t_max=8, trans_p=0.3, e_time=2, i_time=3, zero=None, seed=11
+    )
+
+
+QUERIES.update(
+    {
+        "reachable_nodes": q_reachable_nodes,
+        "hashing_overlap": q_hashing_overlap,
+        "seir_census": q_seir_census,
+    }
+)
