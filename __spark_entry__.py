@@ -111,6 +111,8 @@ def oracle_sql() -> dict[str, str]:
         "hashing_overlap": o.hashing_overlap_sql(),
         "seir_census": o.seir_sql(),
         "simhash_near_dups": o.simhash_near_dups_sql(),
+        "maximal_cliques": o.maximal_cliques_sql(),
+        "group_degree": o.group_degree_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -1648,3 +1648,87 @@ WITH {EDGES_CTE},
 {chain}
 {union}
 """
+
+
+def maximal_cliques_sql(max_size: int = 8) -> str:
+    """Exact twin of queries.q_maximal_cliques: enumerate ALL maximal
+    cliques of the hash-sparsified link graph ((u*1000003+v)%97<6 over
+    und). The clique SET is unique (order-free), so plain enumeration —
+    ordered expansion c{s} -> c{s+1} by appending a larger vertex
+    adjacent to every member, then a maximality anti-test (no outside
+    vertex adjacent to all members) — is an exact oracle. Unrolled to
+    max_size=8; a clique of size >= 8 would make engine and oracle
+    disagree LOUDLY (row-count mismatch), never silently (largest
+    observed: 4 at sf0.01)."""
+    parts = [
+        "sp AS MATERIALIZED (SELECT u, v FROM und WHERE (u * 1000003 + v) % 97 < 6)",
+        "ssym AS MATERIALIZED (SELECT u AS src, v AS dst FROM sp "
+        "UNION ALL SELECT v AS src, u AS dst FROM sp)",
+        "c1 AS (SELECT [id] AS m FROM v)",
+    ]
+    for s in range(1, max_size):
+        parts.append(f"""
+c{s + 1} AS MATERIALIZED (
+  SELECT list_append(c.m, e.dst) AS m
+  FROM c{s} c JOIN ssym e ON e.src = c.m[{s}] AND e.dst > c.m[{s}]
+  WHERE (SELECT COUNT(*) FROM ssym e2
+         WHERE e2.dst = e.dst AND list_contains(c.m, e2.src)) = {s})""")
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT array_to_string(m, ',') AS members, CAST({s} AS INTEGER) AS size
+FROM c{s} c
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT e.dst AS w, COUNT(*) AS cnt FROM ssym e
+    WHERE list_contains(c.m, e.src) AND NOT list_contains(c.m, e.dst)
+    GROUP BY e.dst) t
+  WHERE t.cnt = {s})"""
+        for s in range(1, max_size + 1)
+    )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+{sel}
+"""
+
+
+def group_degree_sql(k: int = 5) -> str:
+    """Exact twin of operators/group.group_degree(k, countGroupNodes=
+    False) on the directed link graph: k unrolled greedy steps, each
+    computing the EXACT marginal gain |({{u}} u N_out(u)) \\ reachable|-1
+    for every non-group vertex and picking (max gain, min id). Matches
+    GroupDegree.cpp's incremental recompute algebraically (see
+    operators/group.py docstring)."""
+    parts = [
+        "grp0 AS (SELECT id FROM v WHERE FALSE)",
+        "r0 AS (SELECT id FROM v WHERE FALSE)",
+    ]
+    for s in range(1, k + 1):
+        p = s - 1
+        parts.append(f"""
+g{s} AS (
+  SELECT vv.id,
+         CAST(COALESCE(c.cnt, 0)
+              + CASE WHEN vv.id IN (SELECT id FROM r{p}) THEN 0 ELSE 1 END
+              - 1 AS BIGINT) AS gain
+  FROM v vv
+  LEFT JOIN (SELECT e.src AS id, COUNT(*) AS cnt FROM edges e
+             WHERE e.dst NOT IN (SELECT id FROM r{p}) GROUP BY e.src) c
+    ON c.id = vv.id
+  WHERE vv.id NOT IN (SELECT id FROM grp{p})),
+w{s} AS MATERIALIZED (SELECT id, gain FROM g{s} ORDER BY gain DESC, id ASC LIMIT 1),
+grp{s} AS MATERIALIZED (SELECT id FROM grp{p} UNION ALL SELECT id FROM w{s}),
+r{s} AS MATERIALIZED (
+  SELECT id FROM r{p}
+  UNION SELECT id FROM w{s}
+  UNION SELECT e.dst AS id FROM edges e JOIN w{s} w ON w.id = e.src)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({s} AS INTEGER) AS "rank", id, gain FROM w{s}'
+        for s in range(1, k + 1)
+    )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+{sel}
+"""

@@ -907,3 +907,68 @@ QUERIES.update(
         "seir_census": q_seir_census,
     }
 )
+
+
+# --------------------------------------------------- cliques / group degree
+CLIQUE_SPARSIFY_MOD = 97
+CLIQUE_SPARSIFY_KEEP = 6
+
+
+def q_maximal_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cliques (ELS degeneracy-ordered Bron–Kerbosch,
+    operators/clique.py) of the HASH-SPARSIFIED undirected link graph.
+    The full link graph is a dense quasi-random graph (avg degree ~170
+    at sf0.01) whose maximal-clique count is super-polynomial, so the
+    driver query pins the deterministic arithmetic keep-rule
+    (u*1000003+v) % 97 < 6 — replayed verbatim in SQL — and the oracle
+    enumerates the clique set exactly by ordered expansion + maximality
+    filter (oracles.maximal_cliques_sql). Vertices keep the FULL link-
+    graph vertex set, so sparsification-isolated vertices exercise the
+    singleton-clique path."""
+    from networkit_spark.operators.clique import maximal_cliques
+
+    e = derive_web_edges(spark, sf_dir)
+    und = (
+        e.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    verts = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    sp = und.filter(
+        (F.col("u") * 1000003 + F.col("v")) % CLIQUE_SPARSIFY_MOD
+        < CLIQUE_SPARSIFY_KEEP
+    )
+    g = Graph.from_edges(
+        sp.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+        directed=False,
+        vertices=verts,
+    )
+    cl = maximal_cliques(g)
+    return cl.select(
+        F.array_join("clique", ",").alias("members"),
+        F.size("clique").alias("size"),
+    )
+
+
+def q_group_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupDegree greedy k=5 group on the directed link graph
+    (exact marginal gains, smallest-id tie-break — deterministic, so
+    the oracle unrolls the five greedy steps exactly)."""
+    from networkit_spark.operators.group import group_degree
+
+    g = _directed_graph(spark, sf_dir)
+    return group_degree(g, k=5, count_group_nodes=False).group
+
+
+QUERIES.update(
+    {
+        "maximal_cliques": q_maximal_cliques,
+        "group_degree": q_group_degree,
+    }
+)
