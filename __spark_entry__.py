@@ -113,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": o.simhash_near_dups_sql(),
         "maximal_cliques": o.maximal_cliques_sql(),
         "group_degree": o.group_degree_sql(),
+        "laplacian_centrality": o.laplacian_sql(),
+        "permanence_mod7": o.permanence_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

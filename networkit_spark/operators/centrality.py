@@ -261,3 +261,131 @@ def local_square_clustering(graph: Graph) -> DataFrame:
         .join(scored, "id", "left")
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     )
+
+
+def laplacian_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """(id, score) — LaplacianCentrality
+    (networkit/cpp/centrality/LaplacianCentrality.cpp:15-42): the drop in
+    Laplacian energy when u is removed,
+
+        score(u) = wdeg(u)^2 + sum_{v in N(u)} w_uv * (w_uv + 2 * wdeg(v))
+
+    normalized divides by the total energy sum_u wdeg(u)^2 + sum_arcs w^2.
+    Closed form — ONE degree aggregation + ONE arc join + ONE per-node
+    aggregation; no iteration, no Python. The arc table is the graph's
+    message table (undirected graphs already symmetrized), matching the
+    reference's forNeighborsOf sweep.
+    """
+    wdeg = (
+        graph.edges.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("wd"))
+    )
+    verts = graph.vertices().join(wdeg, "id", "left").select(
+        "id", F.coalesce("wd", F.lit(0.0)).alias("wd")
+    )
+    nbr_term = (
+        graph.edges.join(
+            verts.select(F.col("id").alias("dst"), F.col("wd").alias("wdv")), "dst"
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(F.col("weight") * (F.col("weight") + 2.0 * F.col("wdv"))).alias("t")
+        )
+    )
+    scores = verts.join(nbr_term, "id", "left").select(
+        "id", (F.col("wd") * F.col("wd") + F.coalesce("t", F.lit(0.0))).alias("score")
+    )
+    if not normalized:
+        return scores
+    total = (
+        verts.agg(F.sum(F.col("wd") * F.col("wd")).alias("a")).collect()[0]["a"]
+        + graph.edges.agg(F.sum(F.col("weight") * F.col("weight")).alias("b"))
+        .collect()[0]["b"]
+    )
+    return scores.select("id", (F.col("score") / F.lit(float(total))).alias("score"))
+
+
+def permanence_centrality(graph: Graph, partition: DataFrame) -> DataFrame:
+    """(id, permanence) — PermanenceCentrality
+    (networkit/cpp/centrality/PermanenceCentrality.cpp:137-156 +
+    getIntraClustering :108-135) of every vertex w.r.t. `partition`
+    (id, label):
+
+        perm(u) = I(u) / (E_max(u) * deg(u)) - (1 - c_in(u))
+
+    I = same-community neighbor count; E_max = the largest neighbor count
+    into any OTHER single community (1 when u has no external neighbors,
+    the reference's F1 fallback); c_in = clustering among the
+    same-community neighbors, 2*T / (I*(I-1)) with T the edge count among
+    them (0 when I < 2).
+
+    Spark shape: one labeled-arc join feeds (a) the per-(u, label)
+    strength aggregation and (b) the same-community wedge self-join whose
+    closing edge is checked with a broadcast-free left-semi join against
+    the arc table — the exact triangle plan, restricted to
+    intra-community wedges so the fan-out is bounded by the community-
+    local degree. Isolated vertices get 0.0 (the reference computes
+    0/0 = NaN and its tests avoid the case; documented deviation).
+    """
+    if graph.directed:
+        raise ValueError("permanence_centrality expects an undirected graph")
+    lab = partition.select("id", "label")
+    arcs = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .join(lab.select(F.col("id").alias("src"), F.col("label").alias("lu")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("lv")), "dst")
+        .persist()
+    )
+    strength = (
+        arcs.groupBy("src", "lu", "lv")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(F.when(F.col("lv") == F.col("lu"), F.col("s")).otherwise(0)).alias("internal"),
+            F.max(F.when(F.col("lv") != F.col("lu"), F.col("s")).otherwise(0)).alias("emax"),
+            F.sum("s").alias("deg"),
+        )
+    )
+    # T(u): edges among u's same-community neighbors, each pair once
+    intra = arcs.filter(F.col("lu") == F.col("lv")).select("src", "dst")
+    wedges = (
+        intra.alias("a")
+        .join(intra.alias("b"), F.col("a.src") == F.col("b.src"))
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .select(F.col("a.src").alias("u"), F.col("a.dst").alias("x"), F.col("b.dst").alias("y"))
+    )
+    closed = (
+        wedges.join(
+            graph.edges.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    out = (
+        graph.vertices()
+        .join(strength, "id", "left")
+        .join(closed, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("deg").isNull(), F.lit(0.0))
+            .otherwise(
+                F.col("internal")
+                / F.greatest(F.col("emax"), F.lit(1)).cast("double")
+                / F.col("deg")
+                - (
+                    1.0
+                    - F.when(
+                        F.col("internal") >= 2,
+                        2.0
+                        * F.coalesce(F.col("tri"), F.lit(0)).cast("double")
+                        / (F.col("internal") * (F.col("internal") - 1)),
+                    ).otherwise(F.lit(0.0))
+                )
+            )
+            .alias("permanence"),
+        )
+    )
+    return out

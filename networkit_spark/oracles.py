@@ -1732,3 +1732,60 @@ WITH {EDGES_CTE},
 {chain}
 {sel}
 """
+
+
+def laplacian_sql() -> str:
+    """Exact twin of operators/centrality.laplacian_centrality on the
+    undirected link graph (LaplacianCentrality.cpp:15-42 energy-drop
+    closed form)."""
+    return f"""
+WITH {EDGES_CTE},
+wdeg AS (SELECT src AS id, CAST(SUM(weight) AS DOUBLE) AS wd FROM sym GROUP BY src),
+t AS (SELECT e.src AS id,
+             SUM(CAST(e.weight AS DOUBLE) * (e.weight + 2 * w.wd)) AS t
+      FROM sym e JOIN wdeg w ON w.id = e.dst GROUP BY e.src)
+SELECT v.id,
+       COALESCE(w.wd * w.wd, 0.0) + COALESCE(t.t, 0.0) AS score
+FROM v
+LEFT JOIN wdeg w ON w.id = v.id
+LEFT JOIN t ON t.id = v.id
+"""
+
+
+def permanence_sql(modulus: int = 7) -> str:
+    """Exact twin of queries.q_permanence_mod7
+    (PermanenceCentrality.cpp:137-156): internal strength / max foreign
+    strength / degree, minus (1 - intra-community clustering)."""
+    return f"""
+WITH {EDGES_CTE},
+lab AS (SELECT id, id % {modulus} AS label FROM v),
+arcs AS (
+  SELECT e.src, e.dst, lu.label AS lu, lv.label AS lv
+  FROM sym e
+  JOIN lab lu ON lu.id = e.src
+  JOIN lab lv ON lv.id = e.dst
+  WHERE e.src <> e.dst),
+st AS (SELECT src, lu, lv, COUNT(*) AS s FROM arcs GROUP BY src, lu, lv),
+agg AS (
+  SELECT src AS id,
+         SUM(CASE WHEN lv = lu THEN s ELSE 0 END) AS internal,
+         MAX(CASE WHEN lv <> lu THEN s ELSE 0 END) AS emax,
+         SUM(s) AS deg
+  FROM st GROUP BY src),
+intra AS (SELECT src, dst FROM arcs WHERE lu = lv),
+tri AS (
+  SELECT a.src AS id, COUNT(*) AS tri
+  FROM intra a JOIN intra b ON a.src = b.src AND a.dst < b.dst
+  WHERE EXISTS (SELECT 1 FROM sym e WHERE e.src = a.dst AND e.dst = b.dst)
+  GROUP BY a.src)
+SELECT vv.id,
+       ROUND(CASE WHEN agg.deg IS NULL THEN 0.0
+       ELSE CAST(agg.internal AS DOUBLE) / GREATEST(agg.emax, 1) / agg.deg
+            - (1.0 - CASE WHEN agg.internal >= 2
+                     THEN 2.0 * COALESCE(tri.tri, 0) / (agg.internal * (agg.internal - 1))
+                     ELSE 0.0 END)
+       END, 9) AS permanence
+FROM v vv
+LEFT JOIN agg ON agg.id = vv.id
+LEFT JOIN tri ON tri.id = vv.id
+"""

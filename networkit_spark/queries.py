@@ -972,3 +972,34 @@ QUERIES.update(
         "group_degree": q_group_degree,
     }
 )
+
+
+def q_laplacian_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian energy-drop centrality on the undirected link graph
+    (closed form — exact SQL twin)."""
+    from networkit_spark.operators.centrality import laplacian_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    return laplacian_centrality(g)
+
+
+def q_permanence_mod7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PermanenceCentrality w.r.t. the deterministic id%7 partition on
+    the undirected link graph (same partition the nominal-assortativity
+    query pins) — internal strength, max foreign strength, and the
+    intra-community triangle count all have exact SQL twins."""
+    from networkit_spark.operators.centrality import permanence_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    part = g.vertices().select("id", (F.col("id") % 7).alias("label"))
+    return permanence_centrality(g, part).select(
+        "id", F.round("permanence", 9).alias("permanence")
+    )
+
+
+QUERIES.update(
+    {
+        "laplacian_centrality": q_laplacian_centrality,
+        "permanence_mod7": q_permanence_mod7,
+    }
+)
