@@ -115,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "group_degree": o.group_degree_sql(),
         "laplacian_centrality": o.laplacian_sql(),
         "permanence_mod7": o.permanence_sql(),
+        "local_partition_coverage": o.local_partition_coverage_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -389,3 +389,31 @@ def permanence_centrality(graph: Graph, partition: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def local_partition_coverage(graph: Graph, partition: DataFrame) -> DataFrame:
+    """(id, score) — LocalPartitionCoverage
+    (networkit/cpp/centrality/LocalPartitionCoverage.cpp:11-30): the
+    weighted fraction of each node's neighbors that share its partition
+    label, score(u) = sum_{v in N(u), P[v]=P[u]} w_uv / wdeg(u); 0.0 for
+    isolated vertices (the reference's division guard). One labeled-arc
+    join + one per-node aggregation."""
+    lab = partition.select("id", "label")
+    scored = (
+        graph.edges.join(
+            lab.select(F.col("id").alias("src"), F.col("label").alias("lu")), "src"
+        )
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("lv")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            (
+                F.sum(F.when(F.col("lu") == F.col("lv"), F.col("weight")).otherwise(0.0))
+                / F.sum("weight")
+            ).alias("score")
+        )
+    )
+    return (
+        graph.vertices()
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

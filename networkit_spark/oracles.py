@@ -1789,3 +1789,22 @@ FROM v vv
 LEFT JOIN agg ON agg.id = vv.id
 LEFT JOIN tri ON tri.id = vv.id
 """
+
+
+def local_partition_coverage_sql(modulus: int = 7) -> str:
+    """Exact twin of queries.q_local_partition_coverage
+    (LocalPartitionCoverage.cpp:11-30)."""
+    return f"""
+WITH {EDGES_CTE},
+lab AS (SELECT id, id % {modulus} AS label FROM v),
+sc AS (
+  SELECT e.src AS id,
+         SUM(CASE WHEN lu.label = lv.label THEN CAST(e.weight AS DOUBLE)
+             ELSE 0.0 END) / CAST(SUM(e.weight) AS DOUBLE) AS score
+  FROM sym e
+  JOIN lab lu ON lu.id = e.src
+  JOIN lab lv ON lv.id = e.dst
+  GROUP BY e.src)
+SELECT vv.id, ROUND(COALESCE(sc.score, 0.0), 9) AS score
+FROM v vv LEFT JOIN sc ON sc.id = vv.id
+"""

@@ -1003,3 +1003,18 @@ QUERIES.update(
         "permanence_mod7": q_permanence_mod7,
     }
 )
+
+
+def q_local_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalPartitionCoverage w.r.t. the deterministic id%7 partition on
+    the undirected link graph (exact SQL twin)."""
+    from networkit_spark.operators.centrality import local_partition_coverage
+
+    g = _undirected_graph(spark, sf_dir)
+    part = g.vertices().select("id", (F.col("id") % 7).alias("label"))
+    return local_partition_coverage(g, part).select(
+        "id", F.round("score", 9).alias("score")
+    )
+
+
+QUERIES.update({"local_partition_coverage": q_local_partition_coverage})

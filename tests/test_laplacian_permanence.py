@@ -113,3 +113,21 @@ def test_permanence_pure_community(spark):
     got = {r["id"]: r["permanence"] for r in permanence_centrality(g, part).collect()}
     for u in range(4):
         assert got[u] == pytest.approx(1.0)
+
+
+def test_local_partition_coverage(spark):
+    from networkit_spark.operators.centrality import local_partition_coverage
+
+    # weighted: 0-1 (w=2, same part), 0-2 (w=1, other), isolated 3
+    df = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    from networkit_spark.graph import Graph
+
+    g = Graph.from_edges(df, directed=False, weighted=True, vertices=verts)
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    got = {r["id"]: r["score"] for r in local_partition_coverage(g, part).collect()}
+    assert got == {0: pytest.approx(2.0 / 3.0), 1: 1.0, 2: 0.0, 3: 0.0}
