@@ -116,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "laplacian_centrality": o.laplacian_sql(),
         "permanence_mod7": o.permanence_sql(),
         "local_partition_coverage": o.local_partition_coverage_sql(),
+        "neighborhood_function": o.neighborhood_function_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -1018,3 +1018,17 @@ def q_local_partition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"local_partition_coverage": q_local_partition_coverage})
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function (ordered pairs within distance <= h,
+    one row per realized distance) of the undirected link graph — the
+    graph is connected at every shipped SF (the operator enforces it,
+    NeighborhoodFunction.cpp contract). Oracle: unrolled BFS closure."""
+    from networkit_spark.operators.distances import neighborhood_function
+
+    g = _undirected_graph(spark, sf_dir)
+    return neighborhood_function(g)
+
+
+QUERIES.update({"neighborhood_function": q_neighborhood_function})
