@@ -139,4 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "leiden_labels": o.community_summary_sql(
             _side_channel("leiden_labels")
         ),
+        "lme_labels": o.community_summary_sql(
+            _side_channel("lme_labels")
+        ),
     }

@@ -1032,3 +1032,20 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"neighborhood_function": q_neighborhood_function})
+
+
+def q_lme_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LouvainMapEquation community summary (hierarchical map-equation
+    minimization; the hashable artifact is the property summary of the
+    labels actually produced, exchanged via the side channel — same
+    contract as plm_labels/leiden_labels; pytest additionally holds the
+    module to exact replica parity and planted recovery)."""
+    from networkit_spark.operators.mapequation import louvain_map_equation
+
+    g = _undirected_graph(spark, sf_dir)
+    return _community_summary(
+        spark, sf_dir, "lme_labels", louvain_map_equation(g, hierarchical=True).labels, g
+    )
+
+
+QUERIES.update({"lme_labels": q_lme_labels})
