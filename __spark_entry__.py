@@ -117,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "permanence_mod7": o.permanence_sql(),
         "local_partition_coverage": o.local_partition_coverage_sql(),
         "neighborhood_function": o.neighborhood_function_sql(),
+        "decontaminate": o.decontaminate_sql(),
+        "tfidf_top5": o.tfidf_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

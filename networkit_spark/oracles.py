@@ -1841,3 +1841,39 @@ WITH {EDGES_CTE},
 {chain}
 {body}
 """
+
+
+def decontaminate_sql(n: int = 5, modulus: int = 17) -> str:
+    """Exact twin of queries.q_decontaminate: distinct word-n-gram
+    shingles (dedup-suite rule), eval dictionary = docs with doc_id %
+    modulus = 0, count of shared shingles per training doc."""
+    grams = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= {n}),
+sh AS (SELECT DISTINCT doc_id, {grams} AS ngram
+       FROM dw, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)),
+ev AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % {modulus} = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev ON ev.ngram = s.ngram
+WHERE s.doc_id % {modulus} <> 0
+GROUP BY s.doc_id
+"""
+
+
+def tfidf_sql(top_k: int = 5) -> str:
+    """Exact twin of operators/corpus.tf_idf: score rounded to 9
+    decimals BEFORE the per-doc rank (ulp-stable tie-break)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((SELECT n FROM nd) / dfreq.df), 9) AS score
+  FROM tf JOIN dfreq ON dfreq.term = tf.term)
+SELECT doc_id, term, score FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) <= {top_k}
+"""

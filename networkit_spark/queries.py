@@ -38,20 +38,53 @@ from networkit_spark.sources.tables import derive_web_edges, load_table
 
 
 # ------------------------------------------------------------------ graphs
+# The derived link graph is THE shared input of ~70 driver queries; a
+# real deployment materializes it once (an Iceberg table), so the query
+# layer does the session-local analog — derive + dedup once per
+# (session, sf_dir, direction), persist, and hand every query the same
+# cached edge table. Without this, a multi-branch query replays the
+# parquet scan + dropDuplicates shuffle once per branch (28 scans
+# observed in one centrality plan), which is exactly the waste the
+# materialized table avoids at 100 TB.
+_GRAPH_CACHE: dict[tuple[str, str, str], Graph] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> Graph:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        from pyspark.storagelevel import StorageLevel
+
+        g = build()
+        g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        _GRAPH_CACHE[key] = g
+    return g
+
+
 def _directed_graph(spark: SparkSession, sf_dir: str) -> Graph:
-    return Graph.from_edges(derive_web_edges(spark, sf_dir), directed=True)
+    return _cached(
+        spark, sf_dir, "directed",
+        lambda: Graph.from_edges(derive_web_edges(spark, sf_dir), directed=True),
+    )
 
 
 def _undirected_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Simple undirected graph over the same arcs: distinct {u, v} pairs,
     symmetrized by Graph (mirrors the oracle's und/sym CTEs)."""
-    e = derive_web_edges(spark, sf_dir)
-    und = (
-        e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        .withColumn("weight", F.lit(1.0))
-    )
-    return Graph.from_edges(und, directed=False)
+
+    def build() -> Graph:
+        e = derive_web_edges(spark, sf_dir)
+        und = (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
+            .withColumn("weight", F.lit(1.0))
+        )
+        return Graph.from_edges(und, directed=False)
+
+    return _cached(spark, sf_dir, "undirected", build)
 
 
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,3 +1082,31 @@ def q_lme_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"lme_labels": q_lme_labels})
+
+
+# ------------------------------------------------- corpus pipeline ops
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: training docs (doc_id%17 != 0)
+    sharing any distinct 5-gram with the pinned eval split (doc_id%17
+    == 0) — the standard pretraining hygiene pass, exact SQL twin."""
+    from networkit_spark.operators.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(tr, ev, n=5)
+
+
+def q_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.corpus import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tf_idf(docs, top_k=5)
+
+
+QUERIES.update(
+    {
+        "decontaminate": q_decontaminate,
+        "tfidf_top5": q_tfidf_top5,
+    }
+)
