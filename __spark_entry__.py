@@ -119,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": o.neighborhood_function_sql(),
         "decontaminate": o.decontaminate_sql(),
         "tfidf_top5": o.tfidf_sql(),
+        "pack_sequences": o.pack_sequences_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

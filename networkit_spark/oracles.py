@@ -1877,3 +1877,32 @@ scored AS (
 SELECT doc_id, term, score FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) <= {top_k}
 """
+
+
+def pack_sequences_sql(capacity: int = 256, shards: int = 8) -> str:
+    """Exact twin of operators/corpus.pack_sequences: per-shard next-fit
+    in doc_id order, replayed row-by-row with a recursive CTE (recursion
+    depth = max docs per shard). Bin ids are shard * 2^40 + index."""
+    return f"""
+WITH RECURSIVE dn AS (
+  SELECT doc_id,
+         CAST(doc_id % {shards} AS INTEGER) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {shards} ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(1 AS BIGINT) AS bin_idx, n_tokens AS used
+  FROM dn WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN r.used + d.n_tokens <= {capacity} THEN r.bin_idx
+              ELSE r.bin_idx + 1 END,
+         CASE WHEN r.used + d.n_tokens <= {capacity}
+              THEN r.used + d.n_tokens ELSE d.n_tokens END
+  FROM rec r JOIN dn d ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT doc_id, shard,
+       CAST(shard AS BIGINT) * 1099511627776 + bin_idx AS bin,
+       n_tokens
+FROM rec
+"""

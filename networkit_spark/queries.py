@@ -1110,3 +1110,16 @@ QUERIES.update(
         "tfidf_top5": q_tfidf_top5,
     }
 )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing into 256-token bins over 8 shards —
+    per-shard sequential semantics replayed exactly by a DuckDB
+    recursive CTE (oracles.pack_sequences_sql)."""
+    from networkit_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, capacity=256, shards=8)
+
+
+QUERIES.update({"pack_sequences": q_pack_sequences})

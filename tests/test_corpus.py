@@ -54,3 +54,30 @@ def test_tfidf_fixture(spark):
 
     per_doc = Counter(r["doc_id"] for r in rows)
     assert all(v <= 2 for v in per_doc.values())
+
+
+def test_pack_sequences(spark):
+    from networkit_spark.operators.corpus import pack_sequences
+
+    # one shard (shards=1): docs in id order with token counts 3,4,5,10,2
+    rows = [
+        (0, "a b c"),          # 3 -> bin 1 (used 3)
+        (1, "a b c d"),        # 4 -> bin 1 (used 7)
+        (2, "a b c d e"),      # 5 -> bin 2 (7+5 > 8)
+        (3, " ".join(["t"] * 10)),  # 10 > cap -> bin 3 alone
+        (4, "a b"),            # 2 -> bin 4 (bin 3 'used'=10 full)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bin"], r["n_tokens"])
+        for r in pack_sequences(docs, capacity=8, shards=1).collect()
+    }
+    assert got == {0: (1, 3), 1: (1, 4), 2: (2, 5), 3: (3, 10), 4: (4, 2)}
+    # bins never exceed capacity except single-oversize-doc bins
+    from collections import defaultdict
+
+    fill = defaultdict(list)
+    for d, (b, t) in got.items():
+        fill[b].append(t)
+    for b, ts in fill.items():
+        assert sum(ts) <= 8 or len(ts) == 1
