@@ -120,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": o.decontaminate_sql(),
         "tfidf_top5": o.tfidf_sql(),
         "pack_sequences": o.pack_sequences_sql(),
+        "partition_eval_mod7": o.partition_eval_sql(),
+        "partition_compare": o.partition_compare_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

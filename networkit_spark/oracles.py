@@ -1906,3 +1906,151 @@ SELECT doc_id, shard,
        n_tokens
 FROM rec
 """
+
+
+def partition_eval_sql(modulus: int = 7, cc_iters: int = 16) -> str:
+    """Exact twin of queries.q_partition_eval_mod7 (formulas from
+    EdgeCut.cpp / PartitionHubDominance.cpp / IntrapartitionDensity.cpp
+    / IsolatedInterpartition{Conductance,Expansion}.cpp /
+    PartitionFragmentation.cpp / StablePartitionNodes.cpp).
+    Fragmentation's fragments = hash-min CC unrolled cc_iters times on
+    the intra-cluster subgraph (converges in <= diameter steps; a
+    too-small unroll fails LOUDLY via value mismatch)."""
+    parts = [
+        f"lab AS MATERIALIZED (SELECT id, id % {modulus} AS label FROM v)",
+        """el AS MATERIALIZED (
+  SELECT u.u, u.v, lu.label AS lu, lv.label AS lv, 1.0 AS weight
+  FROM und u JOIN lab lu ON lu.id = u.u JOIN lab lv ON lv.id = u.v)""",
+        "sizes AS (SELECT label, COUNT(*) AS size FROM lab GROUP BY label)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "ec AS (SELECT COALESCE(SUM(CASE WHEN lu <> lv THEN weight END), 0.0) AS val FROM el)",
+        """ideg AS (
+  SELECT e.src AS id, la.label, COUNT(*) AS d
+  FROM sym e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+  WHERE la.label = lb.label GROUP BY e.src, la.label)""",
+        """hub AS (
+  SELECT s.label,
+         CASE WHEN s.size > 1
+              THEN CAST(COALESCE(mi.m, 0) AS DOUBLE) / (s.size - 1)
+              ELSE 1.0 END AS val
+  FROM sizes s LEFT JOIN (SELECT label, MAX(d) AS m FROM ideg GROUP BY label) mi
+    ON mi.label = s.label)""",
+        """dens AS (
+  SELECT s.label, s.size * (s.size - 1) / 2 AS possible, COALESCE(i.i, 0) AS i
+  FROM sizes s LEFT JOIN
+    (SELECT lu AS label, COUNT(*) AS i FROM el WHERE lu = lv GROUP BY lu) i
+    ON i.label = s.label)""",
+        """cv AS (
+  SELECT label, SUM(CASE WHEN x THEN weight ELSE 0.0 END) AS cut, SUM(weight) AS vol
+  FROM (SELECT lu AS label, weight, lu <> lv AS x FROM el
+        UNION ALL SELECT lv, weight, lu <> lv FROM el) GROUP BY label)""",
+        "tv AS (SELECT SUM(vol) AS t FROM cv)",
+        """iic AS (
+  SELECT s.label, CASE WHEN LEAST(c.vol, (SELECT t FROM tv) - c.vol) > 0
+         THEN COALESCE(c.cut, 0.0) / LEAST(c.vol, (SELECT t FROM tv) - c.vol)
+         ELSE 0.0 END AS val
+  FROM sizes s LEFT JOIN cv c ON c.label = s.label)""",
+        """iie AS (
+  SELECT s.label, CASE WHEN LEAST(s.size, (SELECT n FROM nn) - s.size) > 0
+         THEN COALESCE(c.cut, 0.0) / LEAST(s.size, (SELECT n FROM nn) - s.size)
+         ELSE 0.0 END AS val
+  FROM sizes s LEFT JOIN cv c ON c.label = s.label)""",
+        """fi AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM el WHERE lu = lv
+  UNION ALL SELECT v, u FROM el WHERE lu = lv AND u <> v)""",
+        "f0 AS MATERIALIZED (SELECT id, id AS frag FROM v)",
+    ]
+    for k in range(1, cc_iters + 1):
+        parts.append(f"""f{k} AS MATERIALIZED (SELECT id, MIN(frag) AS frag FROM (
+    SELECT id, frag FROM f{k - 1}
+    UNION ALL
+    SELECT s.dst AS id, f.frag FROM fi s JOIN f{k - 1} f ON f.id = s.src
+  ) GROUP BY id)""")
+    parts.append(f"""frg AS (
+  SELECT s.label, 1.0 - CAST(mf.m AS DOUBLE) / s.size AS val
+  FROM sizes s JOIN (
+    SELECT l.label, MAX(fs) AS m FROM (
+      SELECT l.label, f.frag, COUNT(*) AS fs
+      FROM lab l JOIN f{cc_iters} f ON f.id = l.id GROUP BY l.label, f.frag
+    ) x JOIN lab l ON TRUE GROUP BY l.label  -- placeholder, replaced below
+  ) mf ON mf.label = s.label)""")
+    # the placeholder above is wrong; build frg cleanly instead
+    parts[-1] = f"""fragsz AS (
+  SELECT l.label, f.frag, COUNT(*) AS fs
+  FROM lab l JOIN f{cc_iters} f ON f.id = l.id GROUP BY l.label, f.frag),
+frg AS (
+  SELECT s.label, 1.0 - CAST(mf.m AS DOUBLE) / s.size AS val
+  FROM sizes s JOIN (SELECT label, MAX(fs) AS m FROM fragsz GROUP BY label) mf
+    ON mf.label = s.label)"""
+    parts.append("""lw AS (
+  SELECT e.src AS id, lb.label AS lv, SUM(e.weight) AS w,
+         MAX(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS own
+  FROM sym e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+  GROUP BY e.src, lb.label)""")
+    parts.append("""pn AS (
+  SELECT id,
+         COALESCE(MAX(CASE WHEN own = 1 THEN w END), 0.0) AS wo,
+         COALESCE(MAX(CASE WHEN own = 0 THEN w END), 0.0) AS wm
+  FROM lw GROUP BY id)""")
+    parts.append("""st AS (
+  SELECT vv.id, CASE WHEN pn.id IS NULL THEN TRUE
+                     ELSE (pn.wo > 0 AND pn.wm < pn.wo) END AS stable
+  FROM v vv LEFT JOIN pn ON pn.id = vv.id)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+SELECT ROUND(CAST((SELECT val FROM ec) AS DOUBLE), 9) AS edge_cut,
+       ROUND((SELECT AVG(val) FROM hub), 9) AS hub_dominance,
+       ROUND((SELECT AVG(CASE WHEN possible > 0
+                    THEN CAST(i AS DOUBLE) / possible ELSE 1.0 END) FROM dens), 9)
+         AS intra_density,
+       ROUND((SELECT CAST(SUM(i) AS DOUBLE) / SUM(possible) FROM dens), 9)
+         AS intra_density_global,
+       ROUND((SELECT AVG(val) FROM iic), 9) AS iic,
+       ROUND((SELECT AVG(val) FROM iie), 9) AS iie,
+       ROUND((SELECT AVG(val) FROM frg), 9) AS fragmentation,
+       ROUND((SELECT AVG(CAST(stable AS DOUBLE)) FROM st), 9) AS stable_fraction
+"""
+
+
+def partition_compare_sql(ma: int = 5, mb: int = 7) -> str:
+    """Exact twin of queries.q_partition_compare (NodeStructuralRand /
+    GraphStructuralRand / Jaccard / AdjustedRand dissimilarities over
+    the id%ma vs id%mb partitions + intersection cell count)."""
+    return f"""
+WITH {EDGES_CTE},
+lab AS (SELECT id, id % {ma} AS la, id % {mb} AS lb FROM v),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+sz AS (SELECT CAST(SUM(s * (s - 1) / 2) AS DOUBLE) AS x
+       FROM (SELECT COUNT(*) AS s FROM lab GROUP BY la)),
+se AS (SELECT CAST(SUM(s * (s - 1) / 2) AS DOUBLE) AS x
+       FROM (SELECT COUNT(*) AS s FROM lab GROUP BY lb)),
+si AS (SELECT CAST(SUM(s * (s - 1) / 2) AS DOUBLE) AS x
+       FROM (SELECT COUNT(*) AS s FROM lab GROUP BY la, lb)),
+cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT DISTINCT la, lb FROM lab)),
+eg AS (
+  SELECT COUNT(*) AS m,
+         SUM(CASE WHEN (a.la = b.la AND a.lb = b.lb)
+                    OR (a.la <> b.la AND a.lb <> b.lb) THEN 1 ELSE 0 END) AS agree
+  FROM und u JOIN lab a ON a.id = u.u JOIN lab b ON b.id = u.v),
+s AS (SELECT (SELECT n FROM nn) AS n, (SELECT x FROM sz) AS sz,
+             (SELECT x FROM se) AS se, (SELECT x FROM si) AS si)
+SELECT
+  ROUND(1.0 - 2.0 * (n * (n - 1) / 2.0 + 2.0 * si - (sz + se)) / (n * (n - 1)), 9)
+    AS rand_node,
+  ROUND(1.0 - CAST((SELECT agree FROM eg) AS DOUBLE) / (SELECT m FROM eg), 9)
+    AS rand_graph,
+  ROUND(CASE WHEN n * (n - 1) - 2.0 * (n * (n - 1) / 2.0 + si - (sz + se)) > 0
+        THEN 1.0 - 2.0 * si
+             / (n * (n - 1) - 2.0 * (n * (n - 1) / 2.0 + si - (sz + se)))
+        ELSE 0.0 END, 9) AS jaccard,
+  ROUND(CASE WHEN 0.5 * (sz + se) = 0
+               OR 0.5 * (sz + se) = sz * se / (n * (n - 1) / 2.0) THEN 0.0
+        ELSE 1.0 - (si - sz * se / (n * (n - 1) / 2.0))
+             / (0.5 * (sz + se) - sz * se / (n * (n - 1) / 2.0)) END, 9)
+    AS adjusted_rand,
+  (SELECT c FROM cells) AS n_cells
+FROM s
+"""

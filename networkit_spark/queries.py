@@ -1123,3 +1123,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"pack_sequences": q_pack_sequences})
+
+
+def q_partition_eval_mod7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary of the partition-evaluation family w.r.t. the
+    deterministic id%7 partition on the undirected link graph: EdgeCut,
+    PartitionHubDominance, IntrapartitionDensity (avg + global),
+    IsolatedInterpartitionConductance/Expansion, PartitionFragmentation,
+    StablePartitionNodes — every number recomputed exactly in SQL."""
+    from networkit_spark.operators import evaluation as ev
+
+    g = _undirected_graph(spark, sf_dir)
+    part = g.vertices().select("id", (F.col("id") % 7).alias("label"))
+    hub = ev.partition_hub_dominance(g, part)
+    dens, dens_global = ev.intrapartition_density(g, part)
+    iic = ev.isolated_interpartition_conductance(g, part)
+    iie = ev.isolated_interpartition_expansion(g, part)
+    frag = ev.partition_fragmentation(g, part)
+    _, stab = ev.stable_partition_nodes(g, part)
+    row = [
+        (
+            round(ev.edge_cut(g, part), 9),
+            round(hub.unweighted_average, 9),
+            round(dens.unweighted_average, 9),
+            round(dens_global, 9),
+            round(iic.unweighted_average, 9),
+            round(iie.unweighted_average, 9),
+            round(frag.unweighted_average, 9),
+            round(stab.weighted_average, 9),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "edge_cut double, hub_dominance double, intra_density double, "
+        "intra_density_global double, iic double, iie double, "
+        "fragmentation double, stable_fraction double",
+    )
+
+
+def q_partition_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison measures between the id%5 and id%7 partitions:
+    node-structural Rand, graph-structural Rand, Jaccard, adjusted Rand
+    dissimilarities + intersection cell count (exact SQL twins)."""
+    from networkit_spark.operators import evaluation as ev
+
+    g = _undirected_graph(spark, sf_dir)
+    za = g.vertices().select("id", (F.col("id") % 5).alias("label"))
+    eb = g.vertices().select("id", (F.col("id") % 7).alias("label"))
+    cells = ev.partition_intersection(za, eb).select("label").distinct().count()
+    row = [
+        (
+            round(ev.node_structural_rand(g, za, eb), 9),
+            round(ev.graph_structural_rand(g, za, eb), 9),
+            round(ev.jaccard_measure(g, za, eb), 9),
+            round(ev.adjusted_rand(g, za, eb), 9),
+            cells,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "rand_node double, rand_graph double, jaccard double, "
+        "adjusted_rand double, n_cells long",
+    )
+
+
+QUERIES.update(
+    {
+        "partition_eval_mod7": q_partition_eval_mod7,
+        "partition_compare": q_partition_compare,
+    }
+)
