@@ -122,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": o.pack_sequences_sql(),
         "partition_eval_mod7": o.partition_eval_sql(),
         "partition_compare": o.partition_compare_sql(),
+        "stream_triangles": o.stream_triangles_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

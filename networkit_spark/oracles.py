@@ -2054,3 +2054,33 @@ SELECT
   (SELECT c FROM cells) AS n_cells
 FROM s
 """
+
+
+def stream_triangles_sql(batches: int = 4) -> str:
+    """Exact twin of queries.q_stream_triangles: per prefix b, the
+    triangle count over the DISTINCT canonical edges of batches 0..b —
+    from-scratch recount, independently validating the operator's
+    incremental decomposition."""
+    parts = [
+        """base AS MATERIALIZED (
+  SELECT CAST(FLOOR(event_id * 4 / ((SELECT MAX(event_id) FROM events) + 1)) AS BIGINT) AS batch,
+         least(user_id % 601, event_id % 601) AS u,
+         greatest(user_id % 601, event_id % 601) AS v
+  FROM events
+  WHERE (user_id % 601) <> (event_id % 601))"""
+    ]
+    sels = []
+    for b in range(batches):
+        parts.append(
+            f"e{b} AS MATERIALIZED (SELECT DISTINCT u, v FROM base WHERE batch <= {b})"
+        )
+        parts.append(f"""t{b} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM e{b} a JOIN e{b} b2 ON b2.u = a.v JOIN e{b} c2 ON c2.u = a.u AND c2.v = b2.v)""")
+        sels.append(f"SELECT CAST({b} AS BIGINT) AS batch, (SELECT c FROM t{b}) AS n_triangles")
+    chain = ",\n".join(parts)
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH {chain}
+{body}
+"""

@@ -1193,3 +1193,32 @@ QUERIES.update(
         "partition_compare": q_partition_compare,
     }
 )
+
+
+def q_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance over 4 ordered event batches
+    (edges derived deterministically from the events table): the
+    operator's running total after each batch must equal the from-
+    scratch triangle count of the accumulated prefix — which is exactly
+    what the SQL twin recomputes per prefix."""
+    from networkit_spark.streaming.edge_stream import incremental_triangle_count
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 601).alias("src"),
+        (F.col("event_id") % 601).alias("dst"),
+    )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    ev = ev.withColumn(
+        "batch", (F.col("event_id") * 4 / (max_id + 1)).cast("long")
+    ).persist()
+    itc = incremental_triangle_count(spark)
+    rows = []
+    for b in range(4):
+        itc(ev.filter(F.col("batch") == b).select("src", "dst"), b)
+        rows.append((b, itc.total))
+    ev.unpersist()
+    return spark.createDataFrame(rows, "batch long, n_triangles long")
+
+
+QUERIES.update({"stream_triangles": q_stream_triangles})

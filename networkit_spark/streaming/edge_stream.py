@@ -136,3 +136,105 @@ class incremental_connected_components:
         self.labels = truncate(res.labels, release=self.labels)
         self.batches += 1
         self.history.append({"batch": int(batch_id), "supersteps": res.iterations})
+
+
+def _canonical_pairs(df: DataFrame) -> DataFrame:
+    """Distinct undirected pairs (u < v), self-loops dropped."""
+    return (
+        df.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _triangle_delta(new: DataFrame, old: DataFrame) -> int:
+    """Triangles containing >= 1 edge of `new` in the graph old ∪ new
+    (both canonical u < v pair tables, disjoint). Decomposed by how many
+    new edges the triangle uses, so each is counted exactly once:
+
+      T1 (one new edge):   per new edge, common neighbors in OLD
+      T2 (two new edges):  wedges of two new edges closed by an OLD edge
+      T3 (three new):      triangles inside `new`
+
+    This is the standard dynamic triangle-maintenance decomposition
+    (the same counting DynTriangleCounting-style updates use); each term
+    is one or two joins, all JVM-side.
+    """
+    old_arcs = old.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        old.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    new_arcs = new.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        new.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    t1 = (
+        new.join(
+            old_arcs.select(F.col("s").alias("u"), F.col("d").alias("w")), "u"
+        )
+        .join(
+            old_arcs.select(F.col("s").alias("v"), F.col("d").alias("w")),
+            ["v", "w"],
+        )
+        .count()
+    )
+    wedges = (
+        new_arcs.alias("a")
+        .join(new_arcs.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.d") < F.col("b.d"))
+        .select(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+    )
+    t2 = wedges.join(old, ["u", "v"], "left_semi").count()
+    t3 = (
+        new.alias("x")
+        .join(new.alias("y"), F.col("x.v") == F.col("y.u"))
+        .join(
+            new.alias("z"),
+            (F.col("z.u") == F.col("x.u")) & (F.col("z.v") == F.col("y.v")),
+            "left_semi",
+        )
+        .count()
+    )
+    return t1 + t2 + t3
+
+
+class incremental_triangle_count:
+    """foreachBatch sink maintaining the GLOBAL triangle count over an
+    edge stream with adds (and optional `op = 'del'` deletions) —
+    the dynamic-triangle-counting analog of
+    incremental_connected_components. Per batch the work is the batch's
+    neighborhood joins (never a full recount): additions count the new
+    triangles against the pre-add state; deletions count the lost
+    triangles against the post-remove state with the same decomposition
+    (a deleted triangle contains >= 1 deleted edge)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.edges: DataFrame | None = None  # canonical (u, v), u < v
+        self.total = 0
+        self.batches = 0
+        self.history: list[dict] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int):
+        has_ops = "op" in batch_df.columns
+        adds = batch_df.filter(F.col("op") != "del") if has_ops else batch_df
+        dels = batch_df.filter(F.col("op") == "del") if has_ops else None
+
+        if self.edges is None:
+            empty = _canonical_pairs(adds).filter(F.lit(False))
+            self.edges = empty.transform(truncate)
+
+        if dels is not None:
+            gone = _canonical_pairs(dels).join(self.edges, ["u", "v"], "left_semi")
+            rest = self.edges.join(gone, ["u", "v"], "left_anti")
+            rest = truncate(rest, release=self.edges)
+            self.total -= _triangle_delta(gone, rest)
+            self.edges = rest
+
+        new = _canonical_pairs(adds).join(self.edges, ["u", "v"], "left_anti")
+        self.total += _triangle_delta(new, self.edges)
+        self.edges = truncate(
+            self.edges.unionByName(new), release=self.edges
+        )
+        self.batches += 1
+        self.history.append({"batch": int(batch_id), "total": self.total})

@@ -249,3 +249,42 @@ def test_streaming_running_degrees(spark, tmp_path):
         .collect()
     )
     assert {r["id"]: r["degree"] for r in latest} == {0: 1, 1: 3, 2: 1, 3: 1}
+
+
+def test_incremental_triangle_count(spark):
+    """Running total equals a from-scratch recount after every batch
+    (adds and deletes)."""
+    import itertools
+    import random
+
+    from networkit_spark.streaming.edge_stream import incremental_triangle_count
+
+    rng = random.Random(13)
+    n = 16
+    all_edges = [
+        (u, v) for u, v in itertools.combinations(range(n), 2) if rng.random() < 0.4
+    ]
+    batches = [all_edges[i::3] for i in range(3)]
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges}
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return sum(1 for u, v in es for w in (adj[u] & adj[v]) if w > v)
+
+    itc = incremental_triangle_count(spark)
+    current: list = []
+    for b, batch in enumerate(batches):
+        current += batch
+        df = spark.createDataFrame(batch, "src long, dst long")
+        itc(df, b)
+        assert itc.total == brute(current), f"after add batch {b}"
+
+    # delete a batch (with op column), re-check
+    dels = [(u, v, "del") for u, v in batches[1]]
+    df = spark.createDataFrame(dels, "src long, dst long, op string")
+    itc(df, 99)
+    remaining = [e for e in current if e not in batches[1]]
+    assert itc.total == brute(remaining), "after delete batch"
