@@ -672,6 +672,14 @@ def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algebraic_distance_edge_scores(g, num_systems=4, num_iters=4)
 
 
+QUERIES.update(
+    {
+        "link_prediction_d2": q_link_prediction_d2,
+        "algebraic_distance": q_algebraic_distance,
+    }
+)
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.sparsification import adamic_adar_scores
 
