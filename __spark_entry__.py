@@ -123,6 +123,10 @@ def oracle_sql() -> dict[str, str]:
         "partition_eval_mod7": o.partition_eval_sql(),
         "partition_compare": o.partition_compare_sql(),
         "stream_triangles": o.stream_triangles_sql(),
+        "biconnected_node_blocks": o.biconnected_node_blocks_sql(),
+        "biconnected_size_hist": o.biconnected_size_hist_sql(),
+        "top_closeness_10": o.top_closeness_sql(),
+        "top_harmonic_10": o.top_harmonic_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -2084,3 +2084,176 @@ def stream_triangles_sql(batches: int = 4) -> str:
 WITH {chain}
 {body}
 """
+
+
+def _biconnected_chain(cc_iters: int = CC_ITERS, blk_iters: int = 12,
+                       bfs_cap: int = 64) -> str:
+    """Shared CTE chain: Tarjan–Vishkin over the min-parent BFS forest —
+    the exact relational twin of operators/biconnected.py. Recursive-CTE
+    BFS (walk-length capped, dist = MIN), reflexive ancestor closure for
+    subtree sizes / low / high, fixed-width path strings for the DFS
+    preorder (children in id order — identical to the Spark sweep), and
+    min-label + pointer-jumping (covers 2^(blk_iters-1) hops) for the
+    block components of the auxiliary graph."""
+    # MATERIALIZED copies: the recursive CTEs below would otherwise
+    # inline (and re-scan, re-open) the parquet-backed sym/und per
+    # iteration — DuckDB leaks one file handle per re-open until the
+    # query ends and trips EMFILE.
+    parts = [
+        "symm AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "undm AS MATERIALIZED (SELECT u, v FROM und)",
+        "l0 AS (SELECT id, id AS lbl FROM v)",
+    ]
+    for k in range(1, cc_iters + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
+    SELECT id, lbl FROM l{k - 1}
+    UNION ALL
+    SELECT s.dst AS id, l.lbl FROM symm s JOIN l{k - 1} l ON l.id = s.src
+  ) GROUP BY id)""")
+    parts += [
+        f"comp AS MATERIALIZED (SELECT id, lbl FROM l{cc_iters})",
+        "roots AS (SELECT id FROM comp WHERE id = lbl)",
+        f"""bfs(x, d) AS (
+  SELECT id AS x, 0 AS d FROM roots
+  UNION
+  SELECT s.dst AS x, b.d + 1 FROM bfs b JOIN symm s ON s.src = b.x
+  WHERE b.d < {bfs_cap})""",
+        "dist AS MATERIALIZED (SELECT x AS id, MIN(d) AS lvl FROM bfs GROUP BY x)",
+        """tree AS MATERIALIZED (
+  SELECT d.id, MIN(s.dst) AS parent
+  FROM dist d JOIN symm s ON s.src = d.id
+  JOIN dist dp ON dp.id = s.dst AND dp.lvl = d.lvl - 1
+  GROUP BY d.id)""",
+        """anc(x, a) AS (
+  SELECT id AS x, id AS a FROM dist
+  UNION
+  SELECT an.x, t.parent AS a FROM anc an JOIN tree t ON t.id = an.a)""",
+        "nd AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS nd FROM anc GROUP BY a)",
+        """paths AS MATERIALIZED (
+  SELECT an.x AS id,
+         STRING_AGG(LPAD(CAST(d2.id AS VARCHAR), 6, '0'), '' ORDER BY d2.lvl) AS pth
+  FROM anc an JOIN dist d2 ON d2.id = an.a
+  GROUP BY an.x)""",
+        """pre AS MATERIALIZED (
+  SELECT p.id,
+         CAST(RANK() OVER (PARTITION BY c.lbl ORDER BY p.pth) - 1 AS BIGINT) AS pre
+  FROM paths p JOIN comp c ON c.id = p.id)""",
+        """ntedges AS MATERIALIZED (
+  SELECT ue.u, ue.v FROM undm ue
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tree t
+    WHERE least(t.id, t.parent) = ue.u AND greatest(t.id, t.parent) = ue.v))""",
+        """ntadj AS (
+  SELECT u AS a, v AS b FROM ntedges UNION ALL SELECT v AS a, u AS b FROM ntedges)""",
+        """baselh AS MATERIALIZED (
+  SELECT p.id,
+         LEAST(p.pre, COALESCE(nt.mn, p.pre)) AS blo,
+         GREATEST(p.pre, COALESCE(nt.mx, p.pre)) AS bhi
+  FROM pre p
+  LEFT JOIN (SELECT na.a, MIN(p2.pre) AS mn, MAX(p2.pre) AS mx
+             FROM ntadj na JOIN pre p2 ON p2.id = na.b GROUP BY na.a) nt
+    ON nt.a = p.id)""",
+        """lowhigh AS MATERIALIZED (
+  SELECT an.a AS id, MIN(b.blo) AS low, MAX(b.bhi) AS high
+  FROM anc an JOIN baselh b ON b.id = an.x GROUP BY an.a)""",
+        """info AS MATERIALIZED (
+  SELECT d.id, t.parent, p.pre, n.nd, lh.low, lh.high
+  FROM dist d
+  LEFT JOIN tree t ON t.id = d.id
+  JOIN pre p ON p.id = d.id
+  JOIN nd n ON n.id = d.id
+  JOIN lowhigh lh ON lh.id = d.id)""",
+        """aux1 AS (
+  SELECT nt.u AS a, nt.v AS b
+  FROM ntedges nt
+  JOIN info iu ON iu.id = nt.u
+  JOIN info iv ON iv.id = nt.v
+  WHERE NOT (iu.pre <= iv.pre AND iv.pre < iu.pre + iu.nd)
+    AND NOT (iv.pre <= iu.pre AND iu.pre < iv.pre + iv.nd))""",
+        """aux2 AS (
+  SELECT iv.id AS a, iw.id AS b
+  FROM info iw
+  JOIN info iv ON iv.id = iw.parent
+  WHERE iv.parent IS NOT NULL
+    AND (iw.low < iv.pre OR iw.high >= iv.pre + iv.nd))""",
+        """auxadj AS (
+  SELECT a, b FROM aux1 UNION ALL SELECT b, a FROM aux1
+  UNION ALL
+  SELECT a, b FROM aux2 UNION ALL SELECT b, a FROM aux2)""",
+        "b0 AS (SELECT id, id AS lbl FROM info WHERE parent IS NOT NULL)",
+    ]
+    for k in range(1, blk_iters + 1):
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT x.id,
+         LEAST(x.lbl, COALESCE(nb.m, x.lbl), COALESCE(pj.lbl, x.lbl)) AS lbl
+  FROM b{k - 1} x
+  LEFT JOIN (SELECT aa.a AS id, MIN(y.lbl) AS m
+             FROM auxadj aa JOIN b{k - 1} y ON y.id = aa.b GROUP BY aa.a) nb
+    ON nb.id = x.id
+  LEFT JOIN b{k - 1} pj ON pj.id = x.lbl)""")
+    parts += [
+        f"blocks AS MATERIALIZED (SELECT id, lbl AS block FROM b{blk_iters})",
+        """treeblk AS (
+  SELECT least(t.id, t.parent) AS u, greatest(t.id, t.parent) AS v, b.block
+  FROM tree t JOIN blocks b ON b.id = t.id)""",
+        """ntblk AS (
+  SELECT nt.u, nt.v, b.block
+  FROM ntedges nt
+  JOIN pre pu ON pu.id = nt.u
+  JOIN pre pv ON pv.id = nt.v
+  JOIN blocks b ON b.id = CASE WHEN pu.pre > pv.pre THEN nt.u ELSE nt.v END)""",
+        """nodeblk AS (
+  SELECT DISTINCT id, block FROM (
+    SELECT u AS id, block FROM treeblk UNION ALL SELECT v AS id, block FROM treeblk
+    UNION ALL
+    SELECT u AS id, block FROM ntblk UNION ALL SELECT v AS id, block FROM ntblk))""",
+    ]
+    return ",\n".join(parts)
+
+
+def biconnected_node_blocks_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_biconnected_chain()}
+SELECT vv.id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_blocks
+FROM v vv
+LEFT JOIN (SELECT id, COUNT(*) AS n FROM nodeblk GROUP BY id) c ON c.id = vv.id
+"""
+
+
+def biconnected_size_hist_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_biconnected_chain()}
+SELECT CAST(size AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_blocks
+FROM (SELECT block, COUNT(DISTINCT id) AS size FROM nodeblk GROUP BY block)
+GROUP BY size
+"""
+
+
+def top_closeness_sql(k: int = 10) -> str:
+    """Exact full ranking -> top k; 1/farness ordering == ascending
+    integer farness, ties by id (the operator's contract)."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()}
+SELECT s AS id, ROUND(1.0 / SUM(dist), 9) AS score
+FROM dists GROUP BY s
+ORDER BY SUM(dist) ASC, s ASC
+LIMIT {k}
+"""
+
+
+def top_harmonic_sql(k: int = 10) -> str:
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()}
+SELECT s AS id,
+       ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) AS score
+FROM dists GROUP BY s
+ORDER BY ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) DESC,
+         s ASC
+LIMIT {k}
+"""

@@ -1230,3 +1230,66 @@ def q_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"stream_triangles": q_stream_triangles})
+
+
+# ----------------------------------------------------------- biconnected
+_BICC_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _bicc(spark: SparkSession, sf_dir: str):
+    """One Tarjan–Vishkin run feeds both biconnected driver queries."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    res = _BICC_CACHE.get(key)
+    if res is None:
+        from networkit_spark.operators.biconnected import biconnected_components
+
+        res = biconnected_components(_undirected_graph(spark, sf_dir))
+        _BICC_CACHE[key] = res
+    return res
+
+
+def q_biconnected_node_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, n_blocks) per vertex — componentsOfNode cardinality
+    (BiconnectedComponents.cpp:113-120); n_blocks > 1 = articulation."""
+    g = _undirected_graph(spark, sf_dir)
+    return _bicc(spark, sf_dir).node_block_counts(g.vertices())
+
+
+def q_biconnected_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(size, n_blocks) block-size histogram — label-invariant twin of
+    getComponentSizes()."""
+    return (
+        _bicc(spark, sf_dir)
+        .component_sizes()
+        .groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+        .select(F.col("size").cast("long").alias("size"), "n_blocks")
+    )
+
+
+QUERIES.update({
+    "biconnected_node_blocks": q_biconnected_node_blocks,
+    "biconnected_size_hist": q_biconnected_size_hist,
+})
+
+
+# ---------------------------------------------------------- top-k closeness
+def q_top_closeness_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by standard closeness via the NBcut pruned search
+    (TopCloseness.cpp) — score/tie-break contract matches the oracle's
+    full ranking."""
+    from networkit_spark.operators.topcloseness import top_closeness
+
+    return top_closeness(_undirected_graph(spark, sf_dir), k=10)
+
+
+def q_top_harmonic_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.topcloseness import top_closeness
+
+    return top_closeness(_undirected_graph(spark, sf_dir), k=10, harmonic=True)
+
+
+QUERIES.update({
+    "top_closeness_10": q_top_closeness_10,
+    "top_harmonic_10": q_top_harmonic_10,
+})
