@@ -495,3 +495,221 @@ def hyperbolic(
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
+
+
+# ------------------------------------------------- ring lattice / small world
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> DataFrame:
+    """RegularRingLatticeGenerator.cpp: every node connects to its k
+    nearest neighbors on each side (degree 2k). Pure expression over
+    spark.range(n*k) — no shuffle."""
+    if k >= (n + 1) // 2:
+        k = max((n - 1) // 2, 0)  # avoid wrap-around duplicates
+    pairs = spark.range(n * k).select(
+        (F.col("id") / k).cast("long").alias("src"),
+        (F.col("id") % k + 1).alias("j"),
+    )
+    return pairs.select(
+        F.least(F.col("src"), (F.col("src") + F.col("j")) % n).alias("src"),
+        F.greatest(F.col("src"), (F.col("src") + F.col("j")) % n).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def watts_strogatz(spark: SparkSession, n: int, k: int, p: float,
+                   seed: int = 42) -> DataFrame:
+    """WattsStrogatzGenerator.cpp: regular ring lattice (k neighbors per
+    side), then each lattice edge is rewired with probability p — the
+    far endpoint is replaced by a uniform random node. Every decision is
+    an independent hash draw of the edge's lattice position, so the
+    whole generator is one expression over spark.range — no RNG state,
+    no shuffle before the final dedup.
+
+    Deviation (documented, same spirit as barabasi_albert): the
+    reference re-draws targets that would create a self-loop or
+    duplicate edge; here such rewires are DROPPED, so the edge count is
+    n*k minus the (rare, O(p·k/n)-fraction) collisions."""
+    if k >= (n + 1) // 2:
+        raise ValueError("need k < n/2 for a simple ring lattice")
+    scale = 1_000_000_000
+    pairs = spark.range(n * k).select(
+        (F.col("id") / k).cast("long").alias("u"),
+        (F.col("id") % k + 1).alias("j"),
+    )
+    rewire = (_h(seed, "u", "j") % scale) < int(p * scale)
+    target = F.when(rewire, _h(seed + 1, "u", "j") % n) \
+              .otherwise((F.col("u") + F.col("j")) % n)
+    return (
+        pairs.select(
+            F.least(F.col("u"), target).alias("src"),
+            F.greatest(F.col("u"), target).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """DorogovtsevMendesGenerator.cpp: start from a triangle; every new
+    node t picks a uniformly random EXISTING EDGE and connects to both
+    of its endpoints (2n-3 edges, planar, power-law-ish).
+
+    The reference grows sequentially. Spark-first: index edges by
+    creation order — edge 0..2 = the triangle, node t >= 3 creates edges
+    3+2(t-3) and 4+2(t-3). Node t's edge choice c_t = hash(t) mod
+    (2t-3) is a CLOSED-FORM expression, and so is each edge's first
+    endpoint (its creator). Only the second endpoint can chain through
+    earlier draws (exactly when the chosen edge is a 'second' edge,
+    probability ~1/2 per hop), so every row resolves by iterating a
+    pure column expression — chains halve in expectation, O(log n)
+    narrow map rounds, ZERO shuffles until the output union."""
+    from networkit_spark.plans.iterative import truncate
+
+    if n < 3:
+        raise ValueError("DorogovtsevMendes needs n >= 3")
+    tri = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    if n == 3:
+        return tri
+
+    def creator(e):  # creator node of edge e (e >= 3)
+        return ((e - 3) / 2).cast("long") + 3
+
+    def choice(t):  # c_t = hash(t) % (2t-3): edges existing before node t
+        return _h(seed, t) % (2 * t - 3)
+
+    def e0(e):  # first endpoint: triangle lookup or creator — closed form
+        return (
+            F.when(e == 0, F.lit(0)).when(e == 1, F.lit(0))
+            .when(e == 2, F.lit(1)).otherwise(creator(e))
+        ).cast("long")
+
+    # rows: one per node t >= 3; resolve A = E0(c_t) (one closed-form
+    # step) and chase B = E1(c_t) through the b=1 chain.
+    base = spark.range(3, n).select(F.col("id").alias("t"),
+                                    choice(F.col("id")).alias("e"))
+
+    def step(df):
+        """One chase step for E1(cur): resolves triangle edges and b=0
+        edges; b=1 edges advance cur := c_creator(cur)."""
+        e = F.col("cur")
+        b = (e - 3) % 2
+        nxt_choice = choice(creator(e))  # c_i of the creator — closed form
+        return df.select(
+            "t", "a",
+            F.when(F.col("val").isNotNull(), F.col("val"))
+            .when(e == 0, F.lit(1)).when(e == 1, F.lit(2)).when(e == 2, F.lit(2))
+            .when(b == 0, e0(nxt_choice))
+            .cast("long").alias("val"),
+            F.when(F.col("val").isNull() & (e >= 3) & (b == 1), nxt_choice)
+            .alias("cur"),
+        )
+
+    state = truncate(base.select(
+        "t", e0(F.col("e")).alias("a"),
+        F.lit(None).cast("long").alias("val"), F.col("e").alias("cur"),
+    ))
+    while True:
+        state = truncate(step(state), release=state)
+        if state.filter(F.col("val").isNull()).limit(1).count() == 0:
+            break
+    new_edges = (
+        state.select(F.col("t"), F.col("a").alias("x"))
+        .unionByName(state.select(F.col("t"), F.col("val").alias("x")))
+        .select(F.least("t", "x").alias("src"), F.greatest("t", "x").alias("dst"),
+                F.lit(1.0).alias("weight"))
+    )
+    out = tri.unionByName(new_edges)
+    state.unpersist()
+    return out
+
+
+def chung_lu(spark: SparkSession, weights: list[float], seed: int = 42) -> DataFrame:
+    """ChungLuGenerator.cpp: expected-degree random graph — edge {u,v}
+    present with probability min(w_u·w_v / S, 1), S = Σw. Same
+    hash-threshold candidate scan as erdos_renyi (the reference's own
+    loop is O(n²), ChungLuGenerator.cpp:30-44); for bench-scale graphs
+    use the grouped Alam et al. formulation (weight-bucketed pair
+    blocks) — test-scale here, like erdos_renyi."""
+    n = len(weights)
+    s = float(sum(weights))
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "id long, w double"
+    )
+    pairs = (
+        spark.range(n * n)
+        .select((F.col("id") / n).cast("long").alias("src"),
+                (F.col("id") % n).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .join(wdf.select(F.col("id").alias("src"), F.col("w").alias("wu")), "src")
+        .join(wdf.select(F.col("id").alias("dst"), F.col("w").alias("wv")), "dst")
+    )
+    scale = 1_000_000_000
+    prob = F.least(F.col("wu") * F.col("wv") / s, F.lit(1.0))
+    return (
+        pairs.filter((_h(seed, "src", "dst") % scale) < (prob * scale).cast("long"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def stochastic_blockmodel(spark: SparkSession, n: int, k: int,
+                          membership: list[int], probs: list[list[float]],
+                          seed: int = 42) -> DataFrame:
+    """StochasticBlockmodel.cpp: edge {u,v} with probability
+    probs[block(u)][block(v)] — hash-threshold over the pair scan."""
+    mdf = spark.createDataFrame(
+        [(i, int(b)) for i, b in enumerate(membership)], "id long, blk int"
+    )
+    pdf = spark.createDataFrame(
+        [(a, b, float(probs[a][b])) for a in range(k) for b in range(k)],
+        "ba int, bb int, p double",
+    )
+    scale = 1_000_000_000
+    pairs = (
+        spark.range(n * n)
+        .select((F.col("id") / n).cast("long").alias("src"),
+                (F.col("id") % n).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .join(mdf.select(F.col("id").alias("src"), F.col("blk").alias("ba")), "src")
+        .join(mdf.select(F.col("id").alias("dst"), F.col("blk").alias("bb")), "dst")
+        .join(F.broadcast(pdf), ["ba", "bb"])
+    )
+    return (
+        pairs.filter((_h(seed, "src", "dst") % scale)
+                     < (F.col("p") * scale).cast("long"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+# ------------------------------------------- power-law degree sequences
+def powerlaw_expected_average(gamma: float, x_min: int, x_max: int) -> float:
+    """PowerlawDegreeSequence.cpp:getExpectedAverageDegree — exact finite
+    zeta-ratio sum over [x_min, x_max]."""
+    num = sum(x ** (gamma + 1) for x in range(x_min, x_max + 1))
+    den = sum(x ** gamma for x in range(x_min, x_max + 1))
+    return num / den
+
+
+def powerlaw_minimum_from_average(avg: float, gamma: float, x_max: int) -> int:
+    """PowerlawDegreeSequence.cpp:setMinimumFromAverageDegree — smallest
+    x_min whose expected average reaches `avg` (expected average grows
+    monotonically with x_min)."""
+    lo = 1
+    while lo < x_max and powerlaw_expected_average(gamma, lo, x_max) < avg:
+        lo += 1
+    return lo
+
+
+def powerlaw_degree_sequence(spark: SparkSession, n: int, gamma: float,
+                             x_min: int, x_max: int, seed: int = 42) -> DataFrame:
+    """(id, degree) — n i.i.d. draws from P(d) ∝ d^gamma on
+    [x_min, x_max] (gamma < 0, the reference's sign convention —
+    PowerlawDegreeSequence.hpp takes e.g. -2), inverse-CDF over a seeded
+    uniform hash; the same draw primitive the LFR generator uses
+    (_powerlaw_int wants the POSITIVE tail exponent)."""
+    if gamma >= 0:
+        raise ValueError("gamma must be negative (reference convention)")
+    return spark.range(n).select(
+        "id", _powerlaw_int(seed, -gamma, x_min, x_max, F.col("id")).alias("degree")
+    )
