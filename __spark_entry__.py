@@ -127,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "biconnected_size_hist": o.biconnected_size_hist_sql(),
         "top_closeness_10": o.top_closeness_sql(),
         "top_harmonic_10": o.top_harmonic_sql(),
+        "cover_f1_mod": o.cover_f1_sql(),
+        "cover_hub_dominance_mod": o.cover_hub_dominance_sql(),
+        "overlapping_nmi_mod": o.overlapping_nmi_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -2257,3 +2257,166 @@ ORDER BY ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END), 9) DESC,
          s ASC
 LIMIT {k}
 """
+
+
+_COVERS_CTE = """
+covx AS (
+  SELECT id, id % 7 AS c FROM v
+  UNION ALL
+  SELECT id, 7 + id % 11 AS c FROM v WHERE id % 3 = 0
+),
+covy AS (
+  SELECT id, id % 5 AS c FROM v
+  UNION ALL
+  SELECT id, 5 + id % 13 AS c FROM v WHERE id % 4 = 1
+)
+""".strip()
+
+
+def cover_f1_sql() -> str:
+    """CoverF1Similarity.cpp twin over the deterministic mod-covers."""
+    return f"""
+WITH {EDGES_CTE},
+{_COVERS_CTE},
+cs AS (SELECT c, COUNT(*) AS cs FROM covx GROUP BY c),
+rs AS (SELECT c AS s, COUNT(*) AS rs FROM covy GROUP BY c),
+ol AS (
+  SELECT x.c, y.c AS s, COUNT(*) AS ol
+  FROM covx x JOIN covy y ON y.id = x.id
+  GROUP BY x.c, y.c
+),
+best AS (
+  SELECT o.c,
+         MAX(2.0 * (o.ol * 1.0 / rs.rs) * (o.ol * 1.0 / cs.cs)
+             / (o.ol * 1.0 / rs.rs + o.ol * 1.0 / cs.cs)) AS best
+  FROM ol o JOIN cs ON cs.c = o.c JOIN rs ON rs.s = o.s
+  GROUP BY o.c
+),
+vals AS (
+  SELECT cs.c, cs.cs, COALESCE(b.best, 0.0) AS best
+  FROM cs LEFT JOIN best b ON b.c = cs.c
+)
+SELECT ROUND(AVG(best), 9) AS unweighted_avg,
+       ROUND(SUM(best * cs) / SUM(cs), 9) AS weighted_avg,
+       ROUND(MIN(best), 9) AS min_value,
+       ROUND(MAX(best), 9) AS max_value,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM vals
+"""
+
+
+def cover_hub_dominance_sql() -> str:
+    """CoverHubDominance.cpp twin: per cluster, max internal degree over
+    (size - 1); singletons score 1."""
+    return f"""
+WITH {EDGES_CTE},
+{_COVERS_CTE},
+internal AS (
+  SELECT x.c, x.id, COUNT(*) AS ideg
+  FROM covx x
+  JOIN sym s ON s.src = x.id
+  JOIN covx x2 ON x2.id = s.dst AND x2.c = x.c
+  GROUP BY x.c, x.id
+),
+mx AS (SELECT c, MAX(ideg) AS maxdeg FROM internal GROUP BY c),
+cs AS (SELECT c, COUNT(*) AS cs FROM covx GROUP BY c),
+vals AS (
+  SELECT cs.c, cs.cs,
+         CASE WHEN cs.cs > 1
+              THEN COALESCE(m.maxdeg, 0) * 1.0 / (cs.cs - 1)
+              ELSE 1.0 END AS dom
+  FROM cs LEFT JOIN mx m ON m.c = cs.c
+)
+SELECT ROUND(AVG(dom), 9) AS unweighted_avg,
+       ROUND(SUM(dom * cs) / SUM(cs), 9) AS weighted_avg,
+       ROUND(MIN(dom), 9) AS min_value,
+       ROUND(MAX(dom), 9) AS max_value,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM vals
+"""
+
+
+def overlapping_nmi_sql() -> str:
+    """OverlappingNMIDistance.cpp twin (McDaid adjusted conditional
+    entropies, all five normalizations). h(w,n) = -w*log2(w/n)."""
+    hexpr = "CASE WHEN {w} > 0 THEN -({w}) * LOG2(({w}) * 1.0 / nn.n) ELSE 0.0 END"
+
+    def h(w):
+        return hexpr.format(w=w)
+
+    return f"""
+WITH {EDGES_CTE},
+{_COVERS_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+xs AS (SELECT c AS i, CAST(COUNT(*) AS DOUBLE) AS xi FROM covx GROUP BY c),
+ys AS (SELECT c AS j, CAST(COUNT(*) AS DOUBLE) AS yj FROM covy GROUP BY c),
+inter AS (
+  SELECT x.c AS i, y.c AS j, CAST(COUNT(*) AS DOUBLE) AS d
+  FROM covx x JOIN covy y ON y.id = x.id
+  GROUP BY x.c, y.c
+),
+star AS (
+  SELECT it.i, it.j,
+         CASE WHEN {h("nn.n + it.d - xs.xi - ys.yj")} + {h("it.d")}
+                   >= {h("ys.yj - it.d")} + {h("xs.xi - it.d")}
+              THEN ({h("nn.n + it.d - xs.xi - ys.yj")} + {h("ys.yj - it.d")}
+                    + {h("xs.xi - it.d")} + {h("it.d")})
+                   - ({h("ys.yj")} + {h("nn.n - ys.yj")})
+              ELSE {h("xs.xi")} + {h("nn.n - xs.xi")}
+         END AS hstar
+  FROM inter it JOIN xs ON xs.i = it.i JOIN ys ON ys.j = it.j, nn
+),
+condx AS (
+  SELECT xs.i,
+         {h("xs.xi")} + {h("nn.n - xs.xi")} AS hx_i,
+         LEAST({h("xs.xi")} + {h("nn.n - xs.xi")},
+               COALESCE(m.mn, {h("xs.xi")} + {h("nn.n - xs.xi")})) AS cond
+  FROM xs LEFT JOIN (SELECT i, MIN(hstar) AS mn FROM star GROUP BY i) m
+    ON m.i = xs.i, nn
+),
+stary AS (
+  SELECT it.j, it.i,
+         CASE WHEN {h("nn.n + it.d - ys.yj - xs.xi")} + {h("it.d")}
+                   >= {h("xs.xi - it.d")} + {h("ys.yj - it.d")}
+              THEN ({h("nn.n + it.d - ys.yj - xs.xi")} + {h("xs.xi - it.d")}
+                    + {h("ys.yj - it.d")} + {h("it.d")})
+                   - ({h("xs.xi")} + {h("nn.n - xs.xi")})
+              ELSE {h("ys.yj")} + {h("nn.n - ys.yj")}
+         END AS hstar
+  FROM inter it JOIN xs ON xs.i = it.i JOIN ys ON ys.j = it.j, nn
+),
+condy AS (
+  SELECT ys.j,
+         {h("ys.yj")} + {h("nn.n - ys.yj")} AS hy_j,
+         LEAST({h("ys.yj")} + {h("nn.n - ys.yj")},
+               COALESCE(m.mn, {h("ys.yj")} + {h("nn.n - ys.yj")})) AS cond
+  FROM ys LEFT JOIN (SELECT j, MIN(hstar) AS mn FROM stary GROUP BY j) m
+    ON m.j = ys.j, nn
+),
+agg AS (
+  SELECT (SELECT SUM(hx_i) FROM condx) AS hx,
+         (SELECT SUM(cond) FROM condx) AS hxgy,
+         (SELECT SUM(hy_j) FROM condy) AS hy,
+         (SELECT SUM(cond) FROM condy) AS hygx
+),
+mi AS (
+  SELECT hx, hy,
+         GREATEST(LEAST(0.5 * ((hx - hxgy) + (hy - hygx)), LEAST(hx, hy)), 0.0)
+           AS mi
+  FROM agg
+)
+SELECT
+  ROUND(1.0 - CASE WHEN hx = 0.0 AND hy = 0.0 THEN 1.0
+                   WHEN hx = 0.0 OR hy = 0.0 THEN 0.0
+                   ELSE mi / LEAST(hx, hy) END, 9) AS dist_min,
+  ROUND(1.0 - CASE WHEN hx = 0.0 AND hy = 0.0 THEN 1.0
+                   WHEN hx = 0.0 OR hy = 0.0 THEN 0.0
+                   ELSE mi / SQRT(hx * hy) END, 9) AS dist_geometric_mean,
+  ROUND(1.0 - CASE WHEN hx = 0.0 AND hy = 0.0 THEN 1.0
+                   ELSE mi / ((hx + hy) / 2.0) END, 9) AS dist_arithmetic_mean,
+  ROUND(1.0 - CASE WHEN hx = 0.0 AND hy = 0.0 THEN 1.0
+                   ELSE mi / GREATEST(hx, hy) END, 9) AS dist_max,
+  ROUND(1.0 - CASE WHEN hx = 0.0 AND hy = 0.0 THEN 1.0
+                   ELSE mi / (hx + hy - mi) END, 9) AS dist_joint_entropy
+FROM mi
+"""

@@ -1293,3 +1293,59 @@ QUERIES.update({
     "top_closeness_10": q_top_closeness_10,
     "top_harmonic_10": q_top_harmonic_10,
 })
+
+
+# ----------------------------------------------------------- cover measures
+def _mod_cover_x(g) -> DataFrame:
+    """Deterministic overlapping cover: every node in cluster id%7, nodes
+    with id%3==0 additionally in cluster 7+id%11 (ranges disjoint)."""
+    v = g.vertices()
+    return (
+        v.select("id", (F.col("id") % 7).alias("c"))
+        .unionByName(
+            v.filter(F.col("id") % 3 == 0)
+            .select("id", (F.lit(7) + F.col("id") % 11).alias("c"))
+        )
+    )
+
+
+def _mod_cover_y(g) -> DataFrame:
+    v = g.vertices()
+    return (
+        v.select("id", (F.col("id") % 5).alias("c"))
+        .unionByName(
+            v.filter(F.col("id") % 4 == 1)
+            .select("id", (F.lit(5) + F.col("id") % 13).alias("c"))
+        )
+    )
+
+
+def q_cover_f1_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoverF1Similarity of the two deterministic mod-covers."""
+    from networkit_spark.operators.cover_measures import cover_f1_similarity
+
+    g = _undirected_graph(spark, sf_dir)
+    return cover_f1_similarity(_mod_cover_x(g), _mod_cover_y(g))
+
+
+def q_cover_hub_dominance_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.cover_measures import cover_hub_dominance
+
+    g = _undirected_graph(spark, sf_dir)
+    return cover_hub_dominance(g, _mod_cover_x(g))
+
+
+def q_overlapping_nmi_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 - NMI (McDaid) between the mod-covers, all five normalizations."""
+    from networkit_spark.operators.cover_measures import overlapping_nmi_distance
+
+    g = _undirected_graph(spark, sf_dir)
+    return overlapping_nmi_distance(g.num_vertices(), _mod_cover_x(g),
+                                    _mod_cover_y(g))
+
+
+QUERIES.update({
+    "cover_f1_mod": q_cover_f1_mod,
+    "cover_hub_dominance_mod": q_cover_hub_dominance_mod,
+    "overlapping_nmi_mod": q_overlapping_nmi_mod,
+})
