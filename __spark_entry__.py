@@ -155,4 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "lme_labels": o.community_summary_sql(
             _side_channel("lme_labels")
         ),
+        "agglomerative_labels": o.community_summary_sql(
+            _side_channel("agglomerative_labels")
+        ),
     }

@@ -1349,3 +1349,19 @@ QUERIES.update({
     "cover_hub_dominance_mod": q_cover_hub_dominance_mod,
     "overlapping_nmi_mod": q_overlapping_nmi_mod,
 })
+
+
+# ----------------------------------------------------- agglomerative (PAC)
+def q_agglomerative_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelAgglomerativeClusterer summary (matching tie-breaks make
+    the exact labels schedule-dependent — the hashable artifact is the
+    property summary, exchanged via the side channel like plm_labels)."""
+    from networkit_spark.operators.agglomerative import parallel_agglomerative
+
+    g = _undirected_graph(spark, sf_dir)
+    return _community_summary(
+        spark, sf_dir, "agglomerative_labels", parallel_agglomerative(g), g
+    )
+
+
+QUERIES.update({"agglomerative_labels": q_agglomerative_labels})
