@@ -2420,3 +2420,52 @@ SELECT
                    ELSE mi / (hx + hy - mi) END, 9) AS dist_joint_entropy
 FROM mi
 """
+
+
+def kpath_sql(k: int = 6, t: int = 20000, seed: int = 1) -> str:
+    """Exact replay of operators/kpath.py (KPathCentrality.cpp:34-100
+    semantics): stratified starts over ranked ids, per-step arg-min of
+    the shared walk-hash draw over unvisited neighbors. The pick key is
+    (h3+1)*1024 + dst — the integer the draw was built from — so the
+    comparison is bit-exact (the Spark side's struct-min on (u, dst)
+    orders identically because u = (h3+1)/1000000008 is an exact
+    double for h3 < 2^53)."""
+    parts = [
+        "symm AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        """ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM v)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT g.range AS wid, r.id AS cur, [r.id] AS vis,
+         CAST(1 + FLOOR({_walk_u_sql('g.range', 0, '0', seed)} * {k}) AS BIGINT) AS l
+  FROM range({t}) g
+  JOIN ranked r ON r.rk = g.range % (SELECT n FROM nn))""",
+    ]
+    for j in range(1, k + 1):
+        u = _walk_u_sql("s.wid", j, "e.dst", seed)
+        parts.append(f"""c{j} AS (
+  SELECT s.wid,
+         CAST(ROUND({u} * 1000000008.0) AS BIGINT) * 1024 + e.dst AS key
+  FROM w{j - 1} s JOIN symm e ON e.src = s.cur
+  WHERE s.l >= {j} AND NOT list_contains(s.vis, e.dst))""")
+        parts.append(f"p{j} AS (SELECT wid, MIN(key) AS mk FROM c{j} GROUP BY wid)")
+        parts.append(f"""w{j} AS MATERIALIZED (
+  SELECT s.wid,
+         COALESCE(p.mk % 1024, s.cur) AS cur,
+         CASE WHEN p.mk IS NOT NULL THEN list_append(s.vis, p.mk % 1024)
+              ELSE s.vis END AS vis,
+         CASE WHEN p.mk IS NULL THEN 0 ELSE s.l END AS l
+  FROM w{j - 1} s LEFT JOIN p{j} p USING (wid))""")
+    parts.append(f"""counts AS (
+  SELECT x.id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(vis[2:]) AS id FROM w{k}) x
+  GROUP BY x.id)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT vv.id,
+       ROUND({float(k)} * (SELECT n FROM nn) / {t} * COALESCE(c.c, 0), 9)
+         AS score
+FROM v vv LEFT JOIN counts c ON c.id = vv.id
+"""

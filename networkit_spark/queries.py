@@ -1365,3 +1365,17 @@ def q_agglomerative_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"agglomerative_labels": q_agglomerative_labels})
+
+
+# ----------------------------------------------------------------- k-path
+def q_kpath_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-path centrality, explicit (k=6, t=20000) walk budget; every
+    draw is the shared quadratic walk-hash so the DuckDB twin replays
+    the Monte-Carlo run exactly."""
+    from networkit_spark.operators.kpath import kpath_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    return kpath_centrality(g, k=6, t=20000, seed=1)
+
+
+QUERIES.update({"kpath_scores": q_kpath_scores})
