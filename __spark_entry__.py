@@ -131,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "cover_hub_dominance_mod": o.cover_hub_dominance_sql(),
         "overlapping_nmi_mod": o.overlapping_nmi_sql(),
         "kpath_scores": o.kpath_sql(),
+        "hop_plot": o.hop_plot_sql(),
+        "graph_difference": o.graph_difference_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

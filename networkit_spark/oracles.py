@@ -2469,3 +2469,45 @@ SELECT vv.id,
          AS score
 FROM v vv LEFT JOIN counts c ON c.id = vv.id
 """
+
+
+def hop_plot_sql(max_hops: int = 6) -> str:
+    """nf twin normalized by its maximum (exact hop plot)."""
+    inner = neighborhood_function_sql(max_hops).strip()
+    return f"""
+SELECT dist, ROUND(n_pairs * 1.0 / (MAX(n_pairs) OVER ()), 9) AS hp
+FROM ({inner})
+"""
+
+
+def graph_difference_sql() -> str:
+    """GraphDifference.cpp twin on the deterministic perturbation
+    (drop (u+v)%9==0 edges, add the (i, 5i+7 mod n) chords). Vertex
+    sets are identical by construction, so node events are 0."""
+    return f"""
+WITH {EDGES_CTE},
+e1 AS (SELECT u, v FROM und),
+chords AS (
+  SELECT DISTINCT least(id, (id * 5 + 7) % {_M}) AS u,
+                  greatest(id, (id * 5 + 7) % {_M}) AS v
+  FROM v
+  WHERE least(id, (id * 5 + 7) % {_M}) <> greatest(id, (id * 5 + 7) % {_M})
+),
+e2 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM und WHERE (u + v) % 9 <> 0
+    UNION ALL
+    SELECT u, v FROM chords
+  )
+),
+rem AS (SELECT COUNT(*) AS c FROM e1 WHERE NOT EXISTS
+        (SELECT 1 FROM e2 WHERE e2.u = e1.u AND e2.v = e1.v)),
+add_ AS (SELECT COUNT(*) AS c FROM e2 WHERE NOT EXISTS
+        (SELECT 1 FROM e1 WHERE e1.u = e2.u AND e1.v = e2.v))
+SELECT CAST((SELECT c FROM rem) AS BIGINT) AS edge_removals,
+       CAST((SELECT c FROM add_) AS BIGINT) AS edge_additions,
+       CAST(0 AS BIGINT) AS weight_updates,
+       CAST(0 AS BIGINT) AS node_removals,
+       CAST(0 AS BIGINT) AS node_additions,
+       CAST((SELECT c FROM rem) + (SELECT c FROM add_) AS BIGINT) AS total_edits
+"""

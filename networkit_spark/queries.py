@@ -1379,3 +1379,57 @@ def q_kpath_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"kpath_scores": q_kpath_scores})
+
+
+# --------------------------------------------------- hop plot + graph diff
+def q_hop_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop plot (HopPlotApproximation.cpp semantics, exact
+    variant): fraction of reachable ordered pairs within h hops —
+    NF(h) / NF(diameter)."""
+    from networkit_spark.operators.distances import neighborhood_function
+
+    g = _undirected_graph(spark, sf_dir)
+    nf = neighborhood_function(g)
+    total = nf.agg(F.max("n_pairs")).first()[0]
+    return nf.select(
+        "dist", F.round(F.col("n_pairs") / float(total), 9).alias("hp")
+    )
+
+
+def _perturbed_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Deterministic G2 for GraphDifference: drop edges with
+    (u+v)%9 == 0, add the chord (i, (5i+7) mod n) for every vertex."""
+    g = _undirected_graph(spark, sf_dir)
+    from networkit_spark.sources.tables import GRAPH_MODULUS
+
+    kept = g.simple_undirected_edges().filter(
+        (F.col("u") + F.col("v")) % 9 != 0
+    )
+    chords = (
+        g.vertices()
+        .select(
+            F.least(F.col("id"), (F.col("id") * 5 + 7) % GRAPH_MODULUS).alias("u"),
+            F.greatest(F.col("id"), (F.col("id") * 5 + 7) % GRAPH_MODULUS).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    e2 = kept.unionByName(chords).dropDuplicates(["u", "v"]).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return Graph.from_edges(e2, directed=False, vertices=g.vertices())
+
+
+def q_graph_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphDifference edit-script counts between the web graph and its
+    deterministic perturbation (GraphDifference.cpp:18-125)."""
+    from networkit_spark.operators.graphdiff import difference_summary
+
+    g1 = _undirected_graph(spark, sf_dir)
+    return difference_summary(g1, _perturbed_graph(spark, sf_dir))
+
+
+QUERIES.update({
+    "hop_plot": q_hop_plot,
+    "graph_difference": q_graph_difference,
+})
