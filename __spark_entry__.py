@@ -133,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "kpath_scores": o.kpath_sql(),
         "hop_plot": o.hop_plot_sql(),
         "graph_difference": o.graph_difference_sql(),
+        "simple_paths": o.simple_paths_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -2511,3 +2511,36 @@ SELECT CAST((SELECT c FROM rem) AS BIGINT) AS edge_removals,
        CAST(0 AS BIGINT) AS node_additions,
        CAST((SELECT c FROM rem) + (SELECT c FROM add_) AS BIGINT) AS total_edits
 """
+
+
+def simple_paths_sql() -> str:
+    """AllSimplePaths twin, cutoff 3, between the two smallest vertex
+    ids: explicit join unroll per length with distinctness filters."""
+    return f"""
+WITH {EDGES_CTE},
+st AS (
+  SELECT MIN(id) AS s,
+         (SELECT MIN(id) FROM v WHERE id > (SELECT MIN(id) FROM v)) AS t
+  FROM v
+),
+l1 AS (
+  SELECT CAST(1 AS BIGINT) AS length, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM sym, st WHERE sym.src = st.s AND sym.dst = st.t
+),
+l2 AS (
+  SELECT CAST(2 AS BIGINT) AS length, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM sym a JOIN sym b ON b.src = a.dst, st
+  WHERE a.src = st.s AND b.dst = st.t
+    AND a.dst <> st.s AND a.dst <> st.t
+),
+l3 AS (
+  SELECT CAST(3 AS BIGINT) AS length, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM sym a JOIN sym b ON b.src = a.dst JOIN sym c ON c.src = b.dst, st
+  WHERE a.src = st.s AND c.dst = st.t
+    AND a.dst <> st.s AND a.dst <> st.t
+    AND b.dst <> st.s AND b.dst <> st.t AND b.dst <> a.dst
+)
+SELECT * FROM (
+  SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+) WHERE n_paths > 0
+"""

@@ -1433,3 +1433,23 @@ QUERIES.update({
     "hop_plot": q_hop_plot,
     "graph_difference": q_graph_difference,
 })
+
+
+# ------------------------------------------------------------ simple paths
+def q_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(length, n_paths) of all simple paths between the two smallest
+    vertex ids, cutoff 3 (AllSimplePaths.cpp:15-130)."""
+    from networkit_spark.operators.simplepaths import all_simple_paths
+
+    g = _undirected_graph(spark, sf_dir)
+    lo = [r["id"] for r in
+          g.vertices().orderBy("id").limit(2).collect()]
+    paths = all_simple_paths(g, lo[0], lo[1], cutoff=3)
+    return (
+        paths.select((F.size("path") - 1).cast("long").alias("length"))
+        .groupBy("length")
+        .agg(F.count("*").alias("n_paths"))
+    )
+
+
+QUERIES.update({"simple_paths": q_simple_paths})
