@@ -134,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "hop_plot": o.hop_plot_sql(),
         "graph_difference": o.graph_difference_sql(),
         "simple_paths": o.simple_paths_sql(),
+        "local_similarity_scores": o.local_similarity_sql(),
+        "multiscale_scores": o.multiscale_sql(),
+        "chance_triangle_scores": o.chance_triangle_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -168,3 +168,75 @@ def adamic_adar_distances(graph: Graph) -> DataFrame:
         .otherwise(F.lit(float("inf")))
         .alias("distance"),
     )
+
+
+def local_similarity_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — LocalSimilarityScore.cpp:17-72: per endpoint, rank
+    neighbors by Jaccard similarity T/(d_u + d_v - T) descending (ties:
+    smaller neighbor id first, AttributizedEdge::operator<,
+    LocalSimilarityScore.hpp:25-27); the edge's minimum sparsification
+    exponent is 1 - log(rank)/log(deg) (1 for degree-1 endpoints), and
+    the score is the max over both endpoints."""
+    base = _edge_tri_deg(graph).withColumn(
+        "sim",
+        F.col("triangles")
+        / (F.col("deg_u") + F.col("deg_v") - F.col("triangles")),
+    )
+    views = base.select(
+        F.col("u").alias("node"), F.col("v").alias("alter"),
+        "sim", F.col("deg_u").alias("d"),
+    ).unionByName(base.select(
+        F.col("v").alias("node"), F.col("u").alias("alter"),
+        "sim", F.col("deg_v").alias("d"),
+    ))
+    w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("alter"))
+    scored = views.withColumn("rn", F.row_number().over(w)).select(
+        "node", "alter",
+        F.when(F.col("d") <= 1, 1.0)
+        .otherwise(1.0 - F.log(F.col("rn").cast("double"))
+                   / F.log(F.col("d").cast("double"))).alias("e"),
+    )
+    return (
+        scored.select(F.least("node", "alter").alias("u"),
+                      F.greatest("node", "alter").alias("v"), "e")
+        .groupBy("u", "v").agg(F.max("e").alias("score"))
+    )
+
+
+def multiscale_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — MultiscaleScore.cpp:15-67 over the edge weights:
+    per endpoint u, p = w(e)/Σ_{e'∋u} w(e'), probability
+    1 - (1-p)^(deg(u)-1); score = max over both endpoints."""
+    sym = graph.symmetrized_edges().filter(F.col("src") != F.col("dst"))
+    per_node = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("s"), F.count("*").alias("d")
+    )
+    views = (
+        sym.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "weight")
+        .join(per_node, "node")
+        .select(
+            "node", "nbr",
+            (1.0 - F.pow(1.0 - F.col("weight") / F.col("s"),
+                         F.col("d").cast("double") - 1.0)).alias("p"),
+        )
+    )
+    return (
+        views.select(F.least("node", "nbr").alias("u"),
+                     F.greatest("node", "nbr").alias("v"), "p")
+        .groupBy("u", "v").agg(F.max("p").alias("score"))
+    )
+
+
+def chance_corrected_triangle_scores(graph: Graph) -> DataFrame:
+    """(u, v, score) — ChanceCorrectedTriangleScore.cpp:16-33:
+    T(n-2)/((d_u-1)(d_v-1)) when the edge closes a triangle, 1 for
+    pendant edges, else 0."""
+    n = graph.num_vertices()
+    return _edge_tri_deg(graph).select(
+        "u", "v",
+        F.when(F.col("triangles") > 0,
+               F.col("triangles") * F.lit(float(n - 2))
+               / ((F.col("deg_u") - 1.0) * (F.col("deg_v") - 1.0)))
+        .when((F.col("deg_u") == 1) | (F.col("deg_v") == 1), 1.0)
+        .otherwise(0.0).alias("score"),
+    )

@@ -2544,3 +2544,78 @@ SELECT * FROM (
   SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
 ) WHERE n_paths > 0
 """
+
+
+_EDGE_TRI_CTE = """
+sides AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+),
+tcnt AS (SELECT u, v, COUNT(*) AS c FROM sides GROUP BY u, v),
+etd AS (
+  SELECT e.u, e.v, CAST(COALESCE(tcnt.c, 0) AS DOUBLE) AS t,
+         du.degree AS du, dv.degree AS dv
+  FROM und e
+  LEFT JOIN tcnt ON tcnt.u = e.u AND tcnt.v = e.v
+  JOIN deg du ON du.id = e.u
+  JOIN deg dv ON dv.id = e.v
+)
+""".strip()
+
+
+def local_similarity_sql() -> str:
+    """LocalSimilarityScore.cpp twin: row_number per endpoint over
+    (jaccard sim DESC, alter ASC), e = 1 - ln(rank)/ln(deg)."""
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+{_EDGE_TRI_CTE},
+views AS (
+  SELECT u AS node, v AS alter, t / (du + dv - t) AS sim, du AS d FROM etd
+  UNION ALL
+  SELECT v AS node, u AS alter, t / (du + dv - t) AS sim, dv AS d FROM etd
+),
+ranked AS (
+  SELECT node, alter, d,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY sim DESC, alter ASC) AS rn
+  FROM views
+),
+scored AS (
+  SELECT least(node, alter) AS u, greatest(node, alter) AS v,
+         CASE WHEN d <= 1 THEN 1.0 ELSE 1.0 - LN(rn) / LN(d) END AS e
+  FROM ranked
+)
+SELECT u, v, ROUND(MAX(e), 9) AS score FROM scored GROUP BY u, v
+"""
+
+
+def multiscale_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+pn AS (SELECT src AS node, SUM(weight) AS s, COUNT(*) AS d
+       FROM sym GROUP BY src),
+views AS (
+  SELECT s2.src AS node, s2.dst AS nbr,
+         1.0 - POW(1.0 - s2.weight / pn.s, pn.d - 1.0) AS p
+  FROM sym s2 JOIN pn ON pn.node = s2.src
+)
+SELECT least(node, nbr) AS u, greatest(node, nbr) AS v,
+       ROUND(MAX(p), 9) AS score
+FROM views GROUP BY least(node, nbr), greatest(node, nbr)
+"""
+
+
+def chance_triangle_sql() -> str:
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+{_EDGE_TRI_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)
+SELECT u, v,
+       ROUND(CASE WHEN t > 0
+                  THEN t * ((SELECT n FROM nn) - 2) / ((du - 1.0) * (dv - 1.0))
+                  WHEN du = 1 OR dv = 1 THEN 1.0
+                  ELSE 0.0 END, 9) AS score
+FROM etd
+"""

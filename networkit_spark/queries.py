@@ -1453,3 +1453,37 @@ def q_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"simple_paths": q_simple_paths})
+
+
+# ---------------------------------------------- sparsification scores (r2.4)
+def q_local_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import local_similarity_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return local_similarity_scores(g).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
+def q_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import multiscale_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return multiscale_scores(g).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
+def q_chance_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    return chance_corrected_triangle_scores(g).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
+QUERIES.update({
+    "local_similarity_scores": q_local_similarity,
+    "multiscale_scores": q_multiscale,
+    "chance_triangle_scores": q_chance_triangle,
+})

@@ -133,3 +133,53 @@ def test_adamic_adar_oracle(spark):
             assert dist[(u, v)] == pytest.approx(1.0 / want)
         else:
             assert math.isinf(dist[(u, v)])
+
+
+# ------------------------------------------------- round-2.4 score family
+def test_local_similarity_hand(spark):
+    import math
+
+    from networkit_spark.operators.sparsification import local_similarity_scores
+
+    # triangle 0-1-2 plus pendant 2-3
+    g = Graph.from_pairs(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        directed=False)
+    got = {(r["u"], r["v"]): r["score"]
+           for r in local_similarity_scores(g).collect()}
+    # node 2 (deg 3): sims — (0,2): 1/(2+3-1)=0.25, (1,2): 0.25, (2,3): 0/(3+1)=0
+    # ranks at node 2: (0,2)->1, (1,2)->2, (2,3)->3
+    e_12_at2 = 1 - math.log(2) / math.log(3)
+    e_23_at2 = 1 - math.log(3) / math.log(3)
+    assert abs(got[(2, 3)] - max(e_23_at2, 1.0)) < 1e-12  # deg(3)=1 side wins
+    assert abs(got[(0, 1)] - 1.0) < 1e-12  # rank 1 at both endpoints
+    # at node 1, sim(0,1)=1/3 beats sim(1,2)=1/4 -> (1,2) is rank 2 there
+    # (e = 1 - ln2/ln2 = 0); node 2's rank-2 value wins the max
+    assert abs(got[(1, 2)] - e_12_at2) < 1e-12
+
+
+def test_multiscale_and_chance_hand(spark):
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores,
+        multiscale_scores,
+    )
+
+    g = Graph.from_pairs(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        directed=False)
+    ms = {(r["u"], r["v"]): r["score"] for r in multiscale_scores(g).collect()}
+    # at node 3 (deg 1): p=1, prob=1-(1-1)^0=0 -> max comes from node 2:
+    # p=1/3, d=3: 1-(2/3)^2 = 5/9
+    assert abs(ms[(2, 3)] - 5.0 / 9.0) < 1e-12
+    # at node 0 (deg 2): p=1/2: 1-(1/2)^1 = 0.5; node 1 same -> 0.5
+    assert abs(ms[(0, 1)] - 0.5) < 1e-12
+
+    ct = {(r["u"], r["v"]): r["score"]
+          for r in chance_corrected_triangle_scores(g).collect()}
+    n = 4
+    # edge (0,1): T=1, deg 2/2 -> 1*(n-2)/(1*1) = 2
+    assert abs(ct[(0, 1)] - 2.0) < 1e-12
+    # edge (1,2): T=1, deg 2/3 -> 2/(1*2) = 1
+    assert abs(ct[(1, 2)] - 1.0) < 1e-12
+    # pendant (2,3): T=0, deg(3)=1 -> 1
+    assert abs(ct[(2, 3)] - 1.0) < 1e-12
