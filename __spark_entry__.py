@@ -83,6 +83,12 @@ def oracle_sql() -> dict[str, str]:
         "pivot_mds_centered": o.pivot_mds_centered_sql(),
         "pagerank_nibble": o.pagerank_nibble_sql(),
         "degree_preserving_shuffle": o.degree_preserving_shuffle_sql(),
+        # GlobalCurveball: property oracle (exact degree preservation on
+        # a simple graph — the reference GTest contract); round-level
+        # bit-exactness is pytest-locked by a pure-Python replay.
+        "curveball_degrees": o.curveball_degrees_sql(),
+        "link_pred_roc": o.link_pred_curve_sql("roc"),
+        "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),
         "ann_lsh_top5": o.ann_topk_sql(),
         "embedding_near_dups": o.embedding_near_dup_sql(threshold=0.4),

@@ -1409,6 +1409,80 @@ SELECT a.id, b.new_id FROM a JOIN b ON a.d = b.d AND a.r = b.r
 """
 
 
+def link_pred_curve_sql(metric: str, seed: int = 7, num_thresholds: int = 21) -> str:
+    """Exact twin of queries._link_pred_curve: seeded-hash 70/30 holdout
+    (RandomLinkSampler parity — FLOOR matches the C++ count truncation),
+    common-neighbor wedge scores on the training graph's distance-2
+    candidates, EvaluationMetric's nearest-rank threshold grid (same
+    float operation order), prefix TP/FP in (score DESC, u, v) order,
+    ROC/PR point generation with the consecutive-duplicate-x collapse
+    (arg_max over the threshold index = reference's keep-last pop)."""
+    m = 1_000_000_007
+    h1 = f"((u*2654435761 + v*40503 + {seed}*97) % {m})"
+    tm1 = float(num_thresholds - 1)
+    if metric == "roc":
+        xy = """
+xy AS (SELECT t,
+  CAST(t - tp AS DOUBLE) / (SELECT n - p FROM nn2, npos) AS x,
+  CAST(tp AS DOUBLE) / (SELECT p FROM npos) AS y FROM stats)"""
+    else:
+        xy = """
+xy AS (SELECT t,
+  CASE WHEN tp > 0 OR (SELECT p FROM npos) - tp > 0
+       THEN CAST(tp AS DOUBLE) / (SELECT p FROM npos) ELSE 1.0 END AS x,
+  CASE WHEN t > 0 THEN CAST(tp AS DOUBLE) / t ELSE 1.0 END AS y FROM stats)"""
+    return f"""
+WITH {EDGES_CTE},
+mm AS (SELECT COUNT(*) AS m FROM und),
+keyed AS (SELECT u, v, {_mix_sql(h1)} AS h FROM und),
+ranked AS (SELECT u, v, ROW_NUMBER() OVER (ORDER BY h, u, v) AS r FROM keyed),
+train AS (SELECT u, v FROM ranked
+          WHERE r <= (SELECT CAST(FLOOR(0.7 * m) AS BIGINT) FROM mm)),
+symt AS (SELECT u AS a, v AS b FROM train UNION ALL SELECT v, u FROM train),
+cand AS (
+  SELECT x.a AS u, y.b AS v, COUNT(*) AS cn
+  FROM symt x JOIN symt y ON x.b = y.a AND x.a < y.b
+  WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.u = x.a AND t.v = y.b)
+  GROUP BY x.a, y.b
+),
+nn2 AS (SELECT COUNT(*) AS n FROM cand),
+npos AS (SELECT COUNT(*) AS p
+         FROM cand c JOIN und e ON e.u = c.u AND e.v = c.v),
+grid AS (SELECT DISTINCT CAST(CEIL((SELECT n FROM nn2)
+           * (CAST(i AS DOUBLE) / {tm1})) AS BIGINT) AS t
+         FROM range({num_thresholds}) AS tbl(i)),
+lab AS (SELECT c.u, c.v, c.cn,
+          CASE WHEN e.u IS NULL THEN 0 ELSE 1 END AS pos
+        FROM cand c LEFT JOIN und e ON e.u = c.u AND e.v = c.v),
+cum AS (SELECT (ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) - 1) AS r,
+          COALESCE(SUM(pos) OVER (ORDER BY cn DESC, u, v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp
+        FROM lab),
+stats AS (
+  SELECT g.t, c.tp FROM grid g JOIN cum c ON c.r = g.t
+  UNION ALL
+  SELECT (SELECT n FROM nn2), (SELECT p FROM npos)
+),{xy}
+SELECT ROUND(x, 9) AS x, ROUND(y, 9) AS y
+FROM (SELECT x, arg_max(y, t) AS y FROM xy GROUP BY x)
+"""
+
+
+def curveball_degrees_sql() -> str:
+    """Property twin of queries.q_curveball_degrees: GlobalCurveball's
+    reference contract (GlobalCurveballGTest) is exact per-node degree
+    preservation on a simple graph, so the randomized graph's degree
+    table must hash-equal the ORIGINAL undirected degree table. A
+    duplicate edge, self-loop, or lost/invented edge in the trade rounds
+    shifts some node's degree and fails the hash. The per-round draw
+    semantics are pytest-locked by a bit-exact pure-Python replay
+    (tests/test_randomization.py)."""
+    return f"""
+WITH {EDGES_CTE}
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src
+"""
+
+
 def _luby_u_chain(k: int, seed: int, src: str) -> str:
     """Three chained CTE selects computing the engine's seeded uniform
     draw for round k (operators/independent.py _u — change together)."""

@@ -78,6 +78,35 @@ def global_row_numbers(
     )
 
 
+def global_ranks_score_desc(
+    df: DataFrame,
+    score_col: str,
+    tie_cols: list,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + out_col = 0-based global row number in (score_col DESC,
+    tie_cols ASC) order — the reference's PredictionsSorter::ScoreComp
+    total order. Same two-phase plan: buckets cut on -score (equal
+    scores share a bucket by construction of the strict `>` bucket
+    expression), per-bucket window, broadcast offsets."""
+    part = _bucketed(
+        df.withColumn("_ord", -F.col(score_col).cast("double")), "_ord", num_partitions
+    )
+    off = _offsets(part, F.count(F.lit(1)))
+    wlocal = Window.partitionBy("_pid").orderBy(
+        [F.col("_ord")] + [F.col(c) for c in tie_cols]
+    )
+    return (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(wlocal) - 1 + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off", "_ord")
+    )
+
+
 def global_prefix_sums(
     df: DataFrame,
     order_col: str,

@@ -873,6 +873,31 @@ def q_degree_preserving_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"degree_preserving_shuffle": q_degree_preserving_shuffle})
 
 
+def q_curveball_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalCurveball randomization of the undirected link graph —
+    checked by its reference contract (GlobalCurveballGTest: the trade
+    rounds preserve every node's degree EXACTLY and keep the graph
+    simple), so the oracle is the original graph's degree table. The
+    bit-exact round replay is pytest-locked (tests/test_randomization.py
+    pure-Python twin)."""
+    from networkit_spark.operators.randomization import global_curveball
+
+    g = _undirected_graph(spark, sf_dir)
+    g2 = global_curveball(g, n_global_trades=3, seed=7)
+    und = g2.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return sym.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+
+
+QUERIES.update({"curveball_degrees": q_curveball_degrees})
+
+
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set over the undirected link graph —
     deterministic via seeded-hash draws, so the oracle replays the round
@@ -1486,4 +1511,48 @@ QUERIES.update({
     "local_similarity_scores": q_local_similarity,
     "multiscale_scores": q_multiscale,
     "chance_triangle_scores": q_chance_triangle,
+})
+
+
+def _link_pred_curve(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    """Shared harness for the ROC / PR queries: 70/30 seeded holdout
+    (RandomLinkSampler parity), common-neighbor scores over the training
+    graph on its distance-2 candidates, curve vs the FULL graph as
+    testGraph (the reference's own test setup). Integer CN scores keep
+    the (score DESC, u, v) total order engine-independent."""
+    from networkit_spark.operators.linkpred_eval import (
+        evaluation_points,
+        random_link_sampler,
+    )
+    from networkit_spark.operators.linkprediction import (
+        link_prediction_scores,
+        missing_links,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    train, _ = random_link_sampler(g, train_fraction=0.7, seed=7)
+    cand = missing_links(train, 2)
+    preds = link_prediction_scores(train, cand).select(
+        "u", "v", F.col("common_neighbors").cast("double").alias("score")
+    )
+    full = g.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    pts = evaluation_points(preds, full, num_thresholds=21, metric=metric)
+    return pts.select(F.round("x", 9).alias("x"), F.round("y", 9).alias("y"))
+
+
+def q_link_pred_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCMetric.generatePoints over the holdout harness."""
+    return _link_pred_curve(spark, sf_dir, "roc")
+
+
+def q_link_pred_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrecisionRecallMetric.generatePoints over the holdout harness."""
+    return _link_pred_curve(spark, sf_dir, "pr")
+
+
+QUERIES.update({
+    "link_pred_roc": q_link_pred_roc,
+    "link_pred_pr": q_link_pred_pr,
 })
