@@ -87,6 +87,9 @@ def oracle_sql() -> dict[str, str]:
         # a simple graph — the reference GTest contract); round-level
         # bit-exactness is pytest-locked by a pure-Python replay.
         "curveball_degrees": o.curveball_degrees_sql(),
+        "spsp_distances": o.spsp_sql(),
+        "spsp_weighted": o.spsp_weighted_sql(),
+        "st_distances_bidirectional": o.st_distances_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

@@ -1,0 +1,241 @@
+"""All-pairs / subset-pairs / point-to-point shortest paths.
+
+Reference surface (networkit/cpp/distance/):
+- APSP.cpp:19-40: one SSSP per node (BFS when unweighted, Dijkstra when
+  weighted), distances[source][target]; unreached = infinity.
+- SPSP.cpp:22-31 + SPSP.hpp: SSSP from every node of `sources`,
+  restricted to `targets` when given (runWithTargets uses per-pair STSP;
+  the distance contract is identical).
+- MultiTargetBFS.cpp / MultiTargetDijkstra.cpp: one source, distances to
+  an explicit target set only.
+- GraphDistance.cpp: single (u, v) hop/weight distance.
+- BidirectionalBFS.cpp:14-120: two level-synchronous balls, expanding
+  the side with the smaller frontier; on a directed graph the target
+  ball grows over IN-edges; distance = level sum when the balls meet.
+
+Spark shapes:
+- Unweighted: ONE frontier DataFrame keyed by (s, id) runs every
+  source's BFS simultaneously (operators/distances.multi_source_bfs) —
+  supersteps = eccentricity bound, rows per shuffle scale with |S|.
+- Weighted: multi-source Bellman-Ford on the same (s, id) state — per
+  superstep one arcs join + (s, id) min-aggregation (map-side partial),
+  frontier = strictly-improved rows only, so settled subtrees drop out
+  of the shuffle exactly like the reference's Dijkstra settles them.
+  Converges in ≤ (max hop count of a min-weight path) supersteps; a
+  negative cycle reachable from a source never quiesces, so the n-round
+  cap raises (the reference's Dijkstra forbids negative weights
+  outright).
+- BidirectionalBFS keeps both balls as DataFrames and expands the
+  smaller frontier per superstep; the meeting test is one inner join.
+  Exactness: with completed levels (i, j) and best meeting value mu =
+  min ds+dt over the discovered intersection, every s-t path of length
+  d <= i + j has its position-i node in BOTH balls, so d >= mu; the
+  loop stops only once i + j + 1 >= mu (or a frontier empties).
+- APSP output is inherently O(n^2): callers at web scale pass a sampled
+  source set (SPSP) — the same cutover as distances._all_sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.distances import multi_source_bfs, _all_sources
+from networkit_spark.plans.iterative import truncate
+
+
+def _source_df(graph: Graph, sources) -> DataFrame:
+    if sources is None:
+        return _all_sources(graph)
+    if isinstance(sources, DataFrame):
+        return sources.select(F.col("s").cast("long").alias("s")).distinct()
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame([(int(s),) for s in sources], "s long")
+
+
+def _weighted_arcs(graph: Graph) -> DataFrame:
+    """(src, dst, weight) arcs in traversal direction (both directions
+    when undirected — weight taken from the canonical edge)."""
+    e = graph.edges.select("src", "dst", "weight")
+    if graph.directed:
+        return e
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def multi_source_bellman_ford(
+    graph: Graph, sources: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """(s, id, dist) weighted shortest-path distances from every source
+    — the Dijkstra-parity path of APSP/SPSP (identical fixed point; the
+    reference's own BFS/Dijkstra swap is the same substitution). Raises
+    on a reachable negative cycle (no quiescence within n rounds)."""
+    arcs = _weighted_arcs(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    arcs.count()
+    n = graph.num_vertices()
+    cap = max_rounds if max_rounds is not None else n + 1
+
+    state = truncate(
+        sources.select("s", F.col("s").alias("id"), F.lit(0.0).alias("dist"))
+    )
+    frontier = state
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > cap:
+            arcs.unpersist()
+            if max_rounds is None:
+                raise ValueError(
+                    "no quiescence after n rounds — negative cycle reachable "
+                    "from a source (FloydWarshall handles those; Dijkstra "
+                    "semantics forbid them)"
+                )
+            break
+        cand = (
+            frontier.join(arcs, frontier.id == arcs.src)
+            .select("s", F.col("dst").alias("id"),
+                    (frontier.dist + arcs.weight).alias("dist"))
+            .groupBy("s", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                state.select("s", "id", F.col("dist").alias("old")),
+                ["s", "id"], "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("s", "id", "dist")
+        )
+        improved = truncate(improved, release=frontier)
+        if improved.limit(1).count() == 0:
+            improved.unpersist()
+            break
+        merged = (
+            state.unionByName(improved)
+            .groupBy("s", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        state = truncate(merged, release=state)
+        frontier = improved
+    arcs.unpersist()
+    return state
+
+
+def apsp(graph: Graph, sources: DataFrame | None = None) -> DataFrame:
+    """(s, id, dist) — APSP.cpp's distance matrix as a long table
+    (unreached pairs absent = the reference's infinity). `sources`
+    restricts the rows computed (the SPSP.cpp contract); dist is BIGINT
+    hops on unweighted graphs, DOUBLE path weight on weighted ones."""
+    srcs = _source_df(graph, sources)
+    if graph.weighted:
+        return multi_source_bellman_ford(graph, srcs)
+    return multi_source_bfs(graph, srcs)
+
+
+def spsp(
+    graph: Graph, sources, targets=None
+) -> DataFrame:
+    """SPSP.cpp: distances from `sources`, restricted to `targets` when
+    given. Sources/targets accept iterables of ids or DataFrames
+    (columns s / t)."""
+    dists = apsp(graph, _source_df(graph, sources))
+    if targets is None:
+        return dists
+    if isinstance(targets, DataFrame):
+        t = targets.select(F.col("t").cast("long").alias("id")).distinct()
+    else:
+        spark = graph.edges.sparkSession
+        t = spark.createDataFrame([(int(x),) for x in targets], "id long")
+    return dists.join(F.broadcast(t), "id", "left_semi")
+
+
+def multi_target_bfs(graph: Graph, source: int, targets) -> DataFrame:
+    """MultiTargetBFS.cpp (and MultiTargetDijkstra when weighted):
+    (id, dist) for the target set only."""
+    res = spsp(graph, [source], targets)
+    return res.select("id", "dist")
+
+
+def graph_distance(graph: Graph, u: int, v: int) -> float | None:
+    """GraphDistance.cpp weight(u, v): hop distance (BFS) or path weight
+    (Dijkstra-parity); None when unreachable (reference: infinity)."""
+    row = (
+        apsp(graph, [u])
+        .filter(F.col("id") == v)
+        .select("dist")
+        .first()
+    )
+    return None if row is None else float(row[0])
+
+
+def bidirectional_bfs(graph: Graph, source: int, target: int) -> int | None:
+    """BidirectionalBFS.cpp hop distance: grow a ball from the source
+    over out-edges and one from the target over in-edges, always
+    expanding the smaller frontier; stop once completed levels prove the
+    best discovered meeting exact (module docstring). None when
+    disconnected (the reference leaves distance at its infinity
+    sentinel)."""
+    if source == target:
+        return 0
+    spark = graph.edges.sparkSession
+    out_arcs = (
+        graph.edges.select("src", "dst") if graph.directed
+        else graph.symmetrized_edges().select("src", "dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out_arcs.count()
+    in_arcs = (
+        out_arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if graph.directed else out_arcs
+    )
+
+    def _ball(node):
+        return truncate(
+            spark.createDataFrame([(int(node), 0)], "id long, d int")
+        )
+
+    vis = {"s": _ball(source), "t": _ball(target)}
+    frontier = {"s": vis["s"], "t": vis["t"]}
+    fsize = {"s": 1, "t": 1}
+    done = {"s": 0, "t": 0}  # completed levels per side
+    arcs_of = {"s": out_arcs, "t": in_arcs}
+    best = None
+    while True:
+        # exact once no path shorter than the discovered meeting exists
+        if best is not None and done["s"] + done["t"] + 1 >= best:
+            break
+        side = "s" if fsize["s"] <= fsize["t"] else "t"
+        if fsize[side] == 0:
+            side = "t" if side == "s" else "s"
+            if fsize[side] == 0:
+                break
+        other = "t" if side == "s" else "s"
+        d = done[side] + 1
+        nxt = (
+            frontier[side].join(arcs_of[side], frontier[side].id == arcs_of[side].src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(vis[side].select("id"), "id", "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = truncate(nxt, release=frontier[side])
+        done[side] = d
+        fsize[side] = nxt.count()
+        vis[side] = truncate(vis[side].unionByName(nxt), release=vis[side])
+        frontier[side] = nxt
+        meet = (
+            vis[side].select("id", F.col("d").alias("d1"))
+            .join(vis[other].select("id", F.col("d").alias("d2")), "id")
+            .agg(F.min(F.col("d1") + F.col("d2")).alias("mu"))
+            .first()[0]
+        )
+        if meet is not None:
+            best = meet if best is None else min(best, meet)
+    for df in (vis["s"], vis["t"], frontier["s"], frontier["t"]):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    out_arcs.unpersist()
+    return None if best is None else int(best)

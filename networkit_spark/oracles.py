@@ -983,6 +983,86 @@ FROM v LEFT JOIN sums s ON v.id = s.id CROSS JOIN nk
 """
 
 
+def spsp_sql(modulus: int = 37) -> str:
+    """Subset-pairs hop distances (SPSP.cpp contract, unreached pairs
+    absent) from sources id ≡ 0 (mod modulus) — the unrolled BFS twin of
+    operators/apsp.spsp's batched multi-source BFS."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte_filtered(f"id % {modulus} = 0")}
+SELECT s, id, dist FROM dists
+"""
+
+
+def _bellman_ford_cte(
+    src_filter: str,
+    rounds: int,
+    weight_expr: str = "CAST(1.0 + ((u + v) % 2) AS DOUBLE)",
+) -> str:
+    """Unrolled multi-source Bellman-Ford over und with the deterministic
+    per-edge weight `weight_expr` (a function of the canonical pair, so
+    both directions agree): d_k(s, v) = min(d_{k-1}(s, v),
+    min over arcs (u, v) of d_{k-1}(s, u) + w). Exact once `rounds` ≥
+    the max hop count of any min-weight path — with weights in {{1, 2}}
+    that is ≤ 2·diameter ≤ 2·BFS_MAX_DEPTH. Final table: bf."""
+    parts = [
+        f"""warcs AS MATERIALIZED (
+  SELECT u AS src, v AS dst, {weight_expr} AS w FROM und
+  UNION ALL SELECT v, u, {weight_expr} FROM und)""",
+        f"d0 AS MATERIALIZED (SELECT id AS s, id AS id, CAST(0.0 AS DOUBLE) AS dist FROM v WHERE {src_filter})",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT s, id, MIN(dist) AS dist FROM (
+    SELECT s, id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT d.s, a.dst AS id, d.dist + a.w AS dist
+    FROM d{k - 1} d JOIN warcs a ON d.id = a.src
+  ) GROUP BY s, id)"""
+        )
+    parts.append(f"bf AS MATERIALIZED (SELECT s, id, dist FROM d{rounds})")
+    return ",\n".join(parts)
+
+
+def spsp_weighted_sql(modulus: int = 97, rounds: int = 2 * BFS_MAX_DEPTH + 2) -> str:
+    """Weighted subset-pairs distances (Dijkstra-parity fixed point) on
+    the deterministically-weighted link graph — exact Bellman-Ford
+    unroll twin of operators/apsp.multi_source_bellman_ford."""
+    return f"""
+WITH {EDGES_CTE},
+{_bellman_ford_cte(f"id % {modulus} = 0", rounds)}
+SELECT s, id, ROUND(dist, 9) AS dist FROM bf
+"""
+
+
+def st_distances_sql() -> str:
+    """(s, t, dist) for the three deterministic vertex pairs of
+    queries.q_st_distances — BidirectionalBFS.cpp's distance contract is
+    plain hop distance, so the oracle reads the BFS closure restricted
+    to the three sources (unreachable pairs absent)."""
+    srcs = (
+        "id = (SELECT MIN(id) FROM v) OR "
+        "id = (SELECT MIN(id) FROM v WHERE id >= 150) OR "
+        "id = (SELECT MIN(id) FROM v WHERE id >= 300)"
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte_filtered(srcs)},
+pairs AS (
+  SELECT (SELECT MIN(id) FROM v) AS s, (SELECT MAX(id) FROM v) AS t
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM v WHERE id >= 150),
+         (SELECT MAX(id) FROM v WHERE id <= 450)
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM v WHERE id >= 300),
+         (SELECT MAX(id) FROM v WHERE id <= 200)
+)
+SELECT p.s, p.t, d.dist FROM pairs p
+JOIN dists d ON d.s = p.s AND d.id = p.t
+"""
+
+
 def scc_sql(levels: int = 6) -> str:
     """SCC labels, label = min vertex id per SCC (the engine's canonical
     relabeling, operators/scc.py). The SCC partition is UNIQUE, so an

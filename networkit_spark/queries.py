@@ -1556,3 +1556,77 @@ QUERIES.update({
     "link_pred_roc": q_link_pred_roc,
     "link_pred_pr": q_link_pred_pr,
 })
+
+
+def q_spsp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-pairs hop distances (SPSP.cpp / APSP.cpp contract) from
+    sources {id % 37 == 0} of the undirected link graph to every
+    reachable vertex — ONE batched multi-source BFS; unreached pairs
+    absent (the reference's infinity)."""
+    from networkit_spark.operators.apsp import spsp
+
+    g = _undirected_graph(spark, sf_dir)
+    srcs = g.vertices().filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("s")
+    )
+    return spsp(g, srcs).select(
+        "s", "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_spsp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted subset-pairs distances (the Dijkstra-parity Bellman-Ford
+    fixed point of operators/apsp) on the link graph with deterministic
+    per-edge weights 1 + (u + v) % 2, sources {id % 97 == 0}."""
+    from networkit_spark.operators.apsp import spsp
+
+    g = _undirected_graph(spark, sf_dir)
+    wed = g.edges.select(
+        "src",
+        "dst",
+        (F.lit(1.0) + F.pmod(F.col("src") + F.col("dst"), F.lit(2))).alias(
+            "weight"
+        ),
+    )
+    wg = Graph.from_edges(
+        wed, directed=False, weighted=True, vertices=g.vertices()
+    )
+    srcs = g.vertices().filter(F.col("id") % 97 == 0).select(
+        F.col("id").alias("s")
+    )
+    return spsp(wg, srcs).select("s", "id", F.round("dist", 9).alias("dist"))
+
+
+def q_st_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BidirectionalBFS.cpp st-distances for three deterministic vertex
+    pairs of the undirected link graph (smaller-frontier ball growth;
+    the oracle reads the plain BFS closure — same contract)."""
+    from networkit_spark.operators.apsp import bidirectional_bfs
+
+    g = _undirected_graph(spark, sf_dir)
+    ids = sorted(r["id"] for r in g.vertices().collect())
+
+    def _min_ge(x):
+        return next(i for i in ids if i >= x)
+
+    def _max_le(x):
+        return next(i for i in reversed(ids) if i <= x)
+
+    pairs = [
+        (ids[0], ids[-1]),
+        (_min_ge(150), _max_le(450)),
+        (_min_ge(300), _max_le(200)),
+    ]
+    rows = []
+    for s, t in pairs:
+        d = bidirectional_bfs(g, int(s), int(t))
+        if d is not None:
+            rows.append((int(s), int(t), int(d)))
+    return spark.createDataFrame(rows, "s long, t long, dist long")
+
+
+QUERIES.update({
+    "spsp_distances": q_spsp_distances,
+    "spsp_weighted": q_spsp_weighted,
+    "st_distances_bidirectional": q_st_distances,
+})
