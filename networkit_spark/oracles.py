@@ -1036,6 +1036,44 @@ SELECT s, id, ROUND(dist, 9) AS dist FROM bf
 """
 
 
+def floyd_warshall_sql(modulus: int = 7, rounds: int = 8) -> str:
+    """Exact twin of queries.q_floyd_warshall: lexicographic
+    (dist, hops) min-plus doubling on the induced weighted subgraph —
+    2^rounds ≥ the subgraph's vertex count, so every simple path is
+    covered. Weights are small-integer-valued doubles, so the dist
+    equality in the hop tie-break is exact in both engines."""
+    w = "CAST(1.0 + ((s.u + s.v) % 3) AS DOUBLE)"
+    parts = [
+        f"""sarc AS MATERIALIZED (
+  SELECT s.u AS a, s.v AS b, {w} AS w FROM und s WHERE s.u % {modulus} = 0 AND s.v % {modulus} = 0
+  UNION ALL
+  SELECT s.v, s.u, {w} FROM und s WHERE s.u % {modulus} = 0 AND s.v % {modulus} = 0)""",
+        f"""p0 AS MATERIALIZED (
+  SELECT a AS u, b AS v, MIN(w) AS dist, CAST(1 AS BIGINT) AS hops FROM sarc GROUP BY a, b
+  UNION ALL
+  SELECT id, id, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT) FROM v WHERE id % {modulus} = 0)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.extend((
+            f"""c{k} AS MATERIALIZED (
+  SELECT u, v, dist, hops FROM p{k - 1}
+  UNION ALL
+  SELECT l.u, r.v, l.dist + r.dist, l.hops + r.hops
+  FROM p{k - 1} l JOIN p{k - 1} r ON l.v = r.u)""",
+            f"""m{k} AS MATERIALIZED (SELECT u, v, MIN(dist) AS dist FROM c{k} GROUP BY u, v)""",
+            f"""p{k} AS MATERIALIZED (
+  SELECT c.u, c.v, m.dist, MIN(c.hops) AS hops
+  FROM c{k} c JOIN m{k} m ON c.u = m.u AND c.v = m.v AND c.dist = m.dist
+  GROUP BY c.u, c.v, m.dist)""",
+        ))
+    joined = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{joined}
+SELECT u, v, ROUND(dist, 9) AS dist, hops FROM p{rounds}
+"""
+
+
 def st_distances_sql() -> str:
     """(s, t, dist) for the three deterministic vertex pairs of
     queries.q_st_distances — BidirectionalBFS.cpp's distance contract is

@@ -1630,3 +1630,34 @@ QUERIES.update({
     "spsp_weighted": q_spsp_weighted,
     "st_distances_bidirectional": q_st_distances,
 })
+
+
+def q_floyd_warshall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FloydWarshall.cpp distances + equal-distance min-hop tie-breaks
+    on the {id % 7 == 0}-induced weighted subgraph (weights
+    1 + (u + v) % 3 — positive, so no negative-cycle rows), computed by
+    lexicographic min-plus doubling (operators/floydwarshall.py)."""
+    from networkit_spark.operators.floydwarshall import floyd_warshall
+
+    g = _undirected_graph(spark, sf_dir)
+    sub = g.edges.filter(
+        (F.col("src") % 7 == 0) & (F.col("dst") % 7 == 0)
+    ).select(
+        "src",
+        "dst",
+        (F.lit(1.0) + F.pmod(F.col("src") + F.col("dst"), F.lit(3))).alias(
+            "weight"
+        ),
+    )
+    wg = Graph.from_edges(
+        sub, directed=False, weighted=True,
+        vertices=g.vertices().filter(F.col("id") % 7 == 0),
+    )
+    dists, _ = floyd_warshall(wg)
+    return dists.select(
+        "u", "v", F.round("dist", 9).alias("dist"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+QUERIES.update({"floyd_warshall_mod7": q_floyd_warshall})
