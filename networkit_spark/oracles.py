@@ -689,17 +689,23 @@ def _dists_cte(max_depth: int = BFS_MAX_DEPTH) -> str:
     return _dists_cte_filtered("TRUE", max_depth)
 
 
-def _dists_cte_filtered(src_filter: str, max_depth: int = BFS_MAX_DEPTH) -> str:
+def _dists_cte_filtered(
+    src_filter: str,
+    max_depth: int = BFS_MAX_DEPTH,
+    arcs: str = "sym",
+    verts: str = "v",
+) -> str:
     """_dists_cte with the BFS source set restricted by `src_filter`
-    (SQL predicate over v.id) — the sampled-source twin."""
+    (SQL predicate over {verts}.id) — the sampled-source twin; `arcs` /
+    `verts` override the graph tables (subgraph oracles)."""
     parts = [
-        f"f0 AS MATERIALIZED (SELECT id AS s, id AS id FROM v WHERE {src_filter})",
+        f"f0 AS MATERIALIZED (SELECT id AS s, id AS id FROM {verts} WHERE {src_filter})",
         "vis0 AS MATERIALIZED (SELECT s, id FROM f0)",
     ]
     for k in range(1, max_depth + 1):
         parts.append(
             f"""f{k} AS MATERIALIZED (
-  SELECT DISTINCT f.s, e.dst AS id FROM f{k - 1} f JOIN sym e ON f.id = e.src
+  SELECT DISTINCT f.s, e.dst AS id FROM f{k - 1} f JOIN {arcs} e ON f.id = e.src
   EXCEPT SELECT s, id FROM vis{k - 1})"""
         )
         parts.append(
@@ -1033,6 +1039,24 @@ def spsp_weighted_sql(modulus: int = 97, rounds: int = 2 * BFS_MAX_DEPTH + 2) ->
 WITH {EDGES_CTE},
 {_bellman_ford_cte(f"id % {modulus} = 0", rounds)}
 SELECT s, id, ROUND(dist, 9) AS dist FROM bf
+"""
+
+
+def pll_distances_sql(
+    sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
+) -> str:
+    """Exact twin of queries.q_pll_distances: PLL hub-label queries are
+    EXACT hop distances (PrunedLandmarkLabeling.cpp queryImpl contract),
+    so the oracle is the plain BFS closure on the {id % sub_mod == 0}
+    induced subgraph, sources {id % src_mod == 0}, all subgraph targets
+    (unreachable pairs absent = the reference's infDist)."""
+    return f"""
+WITH {EDGES_CTE},
+ssym AS MATERIALIZED (
+  SELECT src, dst FROM sym WHERE src % {sub_mod} = 0 AND dst % {sub_mod} = 0),
+sv AS MATERIALIZED (SELECT id FROM v WHERE id % {sub_mod} = 0),
+{_dists_cte_filtered(f"id % {src_mod} = 0", max_depth, arcs="ssym", verts="sv")}
+SELECT s, id AS t, dist FROM dists
 """
 
 

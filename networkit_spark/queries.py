@@ -1661,3 +1661,32 @@ def q_floyd_warshall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"floyd_warshall_mod7": q_floyd_warshall})
+
+
+def q_pll_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned landmark labeling (2-hop hub labels) on the
+    {id % 3 == 0}-induced subgraph, then EXACT distance queries from
+    the label index alone for sources {id % 30 == 0} × all subgraph
+    vertices — queryImpl's contract, so the oracle is the plain BFS
+    closure (unreachable pairs absent)."""
+    from networkit_spark.operators.pll import (
+        pll_query,
+        pruned_landmark_labeling,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    sub = g.edges.filter((F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0))
+    sv = g.vertices().filter(F.col("id") % 3 == 0)
+    sg = Graph.from_edges(sub, directed=False, vertices=sv)
+    labels = pruned_landmark_labeling(sg, batch_size=64)
+    pairs = (
+        sv.filter(F.col("id") % 30 == 0)
+        .select(F.col("id").alias("s"))
+        .crossJoin(sv.select(F.col("id").alias("t")))
+    )
+    return pll_query(labels, labels, pairs).select(
+        "s", "t", F.col("dist").cast("long").alias("dist")
+    )
+
+
+QUERIES.update({"pll_distances": q_pll_distances})
