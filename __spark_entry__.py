@@ -92,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "st_distances_bidirectional": o.st_distances_sql(),
         "floyd_warshall_mod7": o.floyd_warshall_sql(),
         "pll_distances": o.pll_distances_sql(),
+        "dynbfs_state": o.dynbfs_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

@@ -55,14 +55,10 @@ def _source_df(graph: Graph, sources) -> DataFrame:
 
 
 def _weighted_arcs(graph: Graph) -> DataFrame:
-    """(src, dst, weight) arcs in traversal direction (both directions
-    when undirected — weight taken from the canonical edge)."""
-    e = graph.edges.select("src", "dst", "weight")
-    if graph.directed:
-        return e
-    return e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    )
+    """(src, dst, weight) arcs in traversal direction — undirected
+    Graph.edges already stores BOTH orientations (graph._symmetrize at
+    construction), so this is a plain projection either way."""
+    return graph.edges.select("src", "dst", "weight")
 
 
 def multi_source_bellman_ford(

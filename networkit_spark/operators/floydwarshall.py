@@ -57,12 +57,8 @@ def floyd_warshall(graph: Graph) -> tuple[DataFrame, DataFrame]:
     negative_cycle_nodes = (id) — isNodeInNegativeCycle."""
     if not graph.weighted:
         raise ValueError("The input graph is unweighted!")
+    # undirected Graph.edges already stores both orientations
     arcs = graph.edges.select("src", "dst", "weight")
-    if not graph.directed:
-        arcs = arcs.unionByName(
-            arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                        "weight")
-        )
     verts = graph.vertices()
     n = graph.num_vertices()
     base = (

@@ -1042,6 +1042,59 @@ SELECT s, id, ROUND(dist, 9) AS dist FROM bf
 """
 
 
+def dynbfs_sql(max_depth: int = BFS_MAX_DEPTH + 4) -> str:
+    """Exact twin of queries.q_dynbfs_state: the DynBFS updateBatch
+    contract is that the repaired state equals a FRESH run on the
+    edited graph, so the oracle ignores the dynamics entirely — it
+    edits the edge table in SQL (drop (u*13+v*7)%11==0 edges, add the
+    two deterministic pairs) and runs a single-source BFS with
+    per-level shortest-path counts (HUGEINT — exact, matching the
+    engine's DECIMAL(38,0) bigfloat substitution)."""
+    parts = [
+        """rmx AS (SELECT u, v FROM und WHERE (u * 13 + v * 7) % 11 = 0),
+addp AS (
+  SELECT LEAST((SELECT MIN(id) FROM v), (SELECT MAX(id) FROM v)) AS u,
+         GREATEST((SELECT MIN(id) FROM v), (SELECT MAX(id) FROM v)) AS v
+  UNION ALL
+  SELECT LEAST((SELECT MIN(id) FROM v WHERE id >= 200),
+               (SELECT MAX(id) FROM v WHERE id <= 400)) AS u,
+         GREATEST((SELECT MIN(id) FROM v WHERE id >= 200),
+                  (SELECT MAX(id) FROM v WHERE id <= 400)) AS v),
+und2 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM und WHERE (u * 13 + v * 7) % 11 <> 0
+    UNION ALL SELECT u, v FROM addp) WHERE u <> v),
+sym2 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und2 UNION ALL SELECT v, u FROM und2),
+f0 AS MATERIALIZED (SELECT (SELECT MIN(id) FROM v) AS id),
+vis0 AS MATERIALIZED (SELECT id FROM f0),
+np0 AS MATERIALIZED (SELECT id, CAST(1 AS HUGEINT) AS np FROM f0)"""
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM f{k - 1} f JOIN sym2 e ON f.id = e.src
+  EXCEPT SELECT id FROM vis{k - 1}),
+vis{k} AS MATERIALIZED (SELECT id FROM vis{k - 1} UNION ALL SELECT id FROM f{k}),
+np{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.np) AS np
+  FROM f{k - 1} f JOIN sym2 e ON f.id = e.src
+  JOIN np{k - 1} p ON p.id = f.id
+  JOIN f{k} t ON t.id = e.dst
+  GROUP BY e.dst)"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT id, CAST({k} AS BIGINT) AS dist, np AS npaths FROM np{k}"
+        for k in range(0, max_depth + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{joined}
+SELECT id, dist, npaths FROM ({levels})
+"""
+
+
 def pll_distances_sql(
     sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
 ) -> str:

@@ -1690,3 +1690,35 @@ def q_pll_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"pll_distances": q_pll_distances})
+
+
+def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynBFS updateBatch over the undirected link graph: fresh state
+    from the min-id source, then ONE mixed batch (remove every edge
+    with (u*13 + v*7) % 11 == 0, add two deterministic long-range
+    pairs) repaired by the localized three-phase update. The contract
+    (DynSSSPGTest) is state == fresh run on the edited graph, so the
+    oracle runs the fresh BFS + exact path counts in SQL."""
+    from networkit_spark.operators.dynsssp import sssp_state, update_sssp
+
+    g = _undirected_graph(spark, sf_dir)
+    ids = sorted(r["id"] for r in g.vertices().collect())
+    source = ids[0]
+    p2 = (
+        min(i for i in ids if i >= 200),
+        max(i for i in ids if i <= 400),
+    )
+    pairs = [(min(ids[0], ids[-1]), max(ids[0], ids[-1])),
+             (min(p2), max(p2))]
+    added = spark.createDataFrame(pairs, "src long, dst long")
+    removed = g.edges.filter(
+        (F.col("src") < F.col("dst"))
+        & (F.pmod(F.col("src") * 13 + F.col("dst") * 7, F.lit(11)) == 0)
+    ).select("src", "dst")
+    st = sssp_state(g, source)
+    _, st2 = update_sssp(g, st, source, added=added, removed=removed)
+    return st2.select("id", F.col("dist").cast("long").alias("dist"),
+                      F.col("npaths"))
+
+
+QUERIES.update({"dynbfs_state": q_dynbfs_state})
