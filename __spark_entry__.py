@@ -93,6 +93,9 @@ def oracle_sql() -> dict[str, str]:
         "floyd_warshall_mod7": o.floyd_warshall_sql(),
         "pll_distances": o.pll_distances_sql(),
         "dynbfs_state": o.dynbfs_sql(),
+        "quadrangle_scores": o.quadrangle_sql(),
+        "prefix_jaccard_scores": o.prefix_jaccard_sql(),
+        "geometric_mean_scores": o.geometric_mean_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

@@ -1042,6 +1042,87 @@ SELECT s, id, ROUND(dist, 9) AS dist FROM bf
 """
 
 
+def quadrangle_sql() -> str:
+    """ChibaNishizekiQuadrangleEdgeScore relational identity (see
+    operators/edgescores.py): score(u,v) = Σ_{w∈N(v)\\{u}}
+    (|N(u)∩N(w)| − 1)."""
+    return f"""
+WITH {EDGES_CTE},
+cn AS MATERIALIZED (
+  SELECT x.src AS a, y.dst AS b, COUNT(*) AS c
+  FROM sym x JOIN sym y ON x.dst = y.src
+  WHERE x.src <> y.dst GROUP BY x.src, y.dst),
+q AS (
+  SELECT e.u, e.v, SUM(cn.c - 1) AS score
+  FROM und e
+  JOIN sym s ON s.src = e.v AND s.dst <> e.u
+  JOIN cn ON cn.a = e.u AND cn.b = s.dst
+  GROUP BY e.u, e.v)
+SELECT e.u, e.v, CAST(COALESCE(q.score, 0) AS BIGINT) AS score
+FROM und e LEFT JOIN q ON q.u = e.u AND q.v = e.v
+"""
+
+
+def prefix_jaccard_sql(modulus: int = 5) -> str:
+    """PrefixJaccardScore.cpp rank-walk replay: competition ranks per
+    endpoint over the full incidence list, per-edge event stream
+    (u-add at ru, v-add at rv, common at max), cumulative counts,
+    best Jaccard over rank prefixes."""
+    return f"""
+WITH {EDGES_CTE},
+attr AS (SELECT u, v, CAST((u + v) % {modulus} AS DOUBLE) AS attr FROM und),
+incs AS (SELECT u AS a, v AS w, attr FROM attr
+         UNION ALL SELECT v, u, attr FROM attr),
+ranked AS (SELECT a, w,
+             RANK() OVER (PARTITION BY a ORDER BY attr DESC) - 1 AS r
+           FROM incs),
+us AS (SELECT e.u, e.v, rk.w, rk.r AS ru
+       FROM und e JOIN ranked rk ON rk.a = e.u AND rk.w <> e.v),
+vs AS (SELECT e.u, e.v, rk.w, rk.r AS rv
+       FROM und e JOIN ranked rk ON rk.a = e.v AND rk.w <> e.u),
+bth AS (SELECT COALESCE(us.u, vs.u) AS u, COALESCE(us.v, vs.v) AS v,
+               COALESCE(us.w, vs.w) AS w, us.ru, vs.rv
+        FROM us FULL JOIN vs ON us.u = vs.u AND us.v = vs.v AND us.w = vs.w),
+events AS (
+  SELECT u, v, ru AS r, 1 AS du, 0 AS dv, 0 AS dc FROM bth WHERE ru IS NOT NULL
+  UNION ALL
+  SELECT u, v, rv, 0, 1, 0 FROM bth WHERE rv IS NOT NULL
+  UNION ALL
+  SELECT u, v, GREATEST(ru, rv), 0, 0, 1 FROM bth
+  WHERE ru IS NOT NULL AND rv IS NOT NULL),
+per_rank AS (SELECT u, v, r, SUM(du) AS du, SUM(dv) AS dv, SUM(dc) AS dc
+             FROM events GROUP BY u, v, r),
+cum AS (SELECT u, v,
+          SUM(dc) OVER wuv AS c,
+          SUM(du) OVER wuv - SUM(dc) OVER wuv AS uo,
+          SUM(dv) OVER wuv - SUM(dc) OVER wuv AS vo
+        FROM per_rank
+        WINDOW wuv AS (PARTITION BY u, v ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+best AS (SELECT u, v,
+           MAX(CASE WHEN c + uo + vo > 0
+                    THEN CAST(c AS DOUBLE) / (c + uo + vo) ELSE 0.0 END) AS score
+         FROM cum GROUP BY u, v)
+SELECT e.u, e.v, ROUND(COALESCE(b.score, 0.0), 9) AS score
+FROM und e LEFT JOIN best b ON b.u = e.u AND b.v = e.v
+"""
+
+
+def geometric_mean_sql(modulus: int = 5) -> str:
+    """GeometricMeanScore.cpp: attr/sqrt(S(u)·S(v)), 0 when attr ≤ 0."""
+    return f"""
+WITH {EDGES_CTE},
+attr AS (SELECT u, v, CAST((u + v) % {modulus} AS DOUBLE) AS attr FROM und),
+sums AS (SELECT a, SUM(attr) AS s FROM (
+    SELECT u AS a, attr FROM attr UNION ALL SELECT v, attr FROM attr
+  ) GROUP BY a)
+SELECT t.u, t.v,
+       ROUND(CASE WHEN t.attr > 0
+                  THEN t.attr / SQRT(su.s * sv.s) ELSE 0.0 END, 9) AS score
+FROM attr t JOIN sums su ON su.a = t.u JOIN sums sv ON sv.a = t.v
+"""
+
+
 def dynbfs_sql(max_depth: int = BFS_MAX_DEPTH + 4) -> str:
     """Exact twin of queries.q_dynbfs_state: the DynBFS updateBatch
     contract is that the repaired state equals a FRESH run on the

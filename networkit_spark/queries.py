@@ -1722,3 +1722,52 @@ def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dynbfs_state": q_dynbfs_state})
+
+
+def _edge_attr(g) -> DataFrame:
+    """Deterministic per-edge attribute (u + v) % 5 — tie-heavy on
+    purpose (the prefix-Jaccard rank walk's hard case)."""
+    return (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.pmod(F.col("src") + F.col("dst"), F.lit(5)).cast("double")
+            .alias("attr"),
+        )
+    )
+
+
+def q_quadrangle_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChibaNishizekiQuadrangleEdgeScore: 4-cycles through every
+    canonical edge of the undirected link graph."""
+    from networkit_spark.operators.edgescores import quadrangle_edge_score
+
+    g = _undirected_graph(spark, sf_dir)
+    return quadrangle_edge_score(g)
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixJaccardScore over the deterministic (u+v)%5 attribute."""
+    from networkit_spark.operators.edgescores import prefix_jaccard_score
+
+    g = _undirected_graph(spark, sf_dir)
+    return prefix_jaccard_score(g, _edge_attr(g)).select(
+        "u", "v", F.round("score", 9).alias("score")
+    )
+
+
+def q_geometric_mean_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeometricMeanScore over the deterministic (u+v)%5 attribute."""
+    from networkit_spark.operators.edgescores import geometric_mean_score
+
+    g = _undirected_graph(spark, sf_dir)
+    return geometric_mean_score(g, _edge_attr(g)).select(
+        "u", "v", F.round("score", 9).alias("score")
+    )
+
+
+QUERIES.update({
+    "quadrangle_scores": q_quadrangle_scores,
+    "prefix_jaccard_scores": q_prefix_jaccard,
+    "geometric_mean_scores": q_geometric_mean_scores,
+})
