@@ -96,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "quadrangle_scores": o.quadrangle_sql(),
         "prefix_jaccard_scores": o.prefix_jaccard_sql(),
         "geometric_mean_scores": o.geometric_mean_sql(),
+        "volume_r123": o.volume_sql(),
+        "nf_heuristic": o.nf_heuristic_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

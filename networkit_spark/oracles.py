@@ -1042,6 +1042,50 @@ SELECT s, id, ROUND(dist, 9) AS dist FROM bf
 """
 
 
+def volume_sql(modulus: int = 41, rmax: int = 3) -> str:
+    """Volume.cpp over the hash sample: mean ball size at each radius
+    (self included — nodesWithinDistance inserts the start at 0)."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte_filtered(f"id % {modulus} = 0", rmax)},
+k AS (SELECT COUNT(*) AS k FROM v WHERE id % {modulus} = 0),
+rs AS (SELECT CAST(i + 1 AS DOUBLE) AS r FROM range({rmax}) AS t(i))
+SELECT rs.r,
+       ROUND((SELECT COUNT(*) FROM dists d WHERE d.dist <= rs.r)
+             / (SELECT CAST(k AS DOUBLE) FROM k), 9) AS volume
+FROM rs
+"""
+
+
+def nf_heuristic_sql(modulus: int = 37) -> str:
+    """NeighborhoodFunctionHeuristic.cpp:42-100 with the hash sample:
+    result[0] = 2m, result[dia-1] = n(n-1), cumulative
+    floor(count·n/k + 0.5) between."""
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()},
+nm AS (SELECT (SELECT COUNT(*) FROM v) AS n, (SELECT COUNT(*) FROM und) AS m),
+dia AS (SELECT MAX(dist) AS d FROM dists),
+k AS (SELECT COUNT(*) AS k FROM v WHERE id % {modulus} = 0),
+hist AS (SELECT dist, COUNT(*) AS c FROM dists
+         WHERE s % {modulus} = 0 AND dist > 0 GROUP BY dist),
+hs AS (SELECT DISTINCT dist AS h FROM dists
+       WHERE dist >= 2 AND dist < (SELECT d FROM dia)),
+mid AS (SELECT h.h,
+          (SELECT 2 * m FROM nm)
+          + SUM(CAST(FLOOR(COALESCE(c, 0)
+                * ((SELECT CAST(n AS DOUBLE) FROM nm) / (SELECT k FROM k))
+                + 0.5) AS BIGINT))
+            OVER (ORDER BY h.h ROWS UNBOUNDED PRECEDING) AS nf
+        FROM hs h LEFT JOIN hist ON hist.dist = h.h)
+SELECT CAST(1 AS BIGINT) AS h, (SELECT 2 * m FROM nm) AS nf
+UNION ALL
+SELECT h, nf FROM mid
+UNION ALL
+SELECT (SELECT d FROM dia), (SELECT n * (n - 1) FROM nm)
+"""
+
+
 def quadrangle_sql() -> str:
     """ChibaNishizekiQuadrangleEdgeScore relational identity (see
     operators/edgescores.py): score(u,v) = Σ_{w∈N(v)\\{u}}

@@ -1771,3 +1771,31 @@ QUERIES.update({
     "prefix_jaccard_scores": q_prefix_jaccard,
     "geometric_mean_scores": q_geometric_mean_scores,
 })
+
+
+def q_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume.cpp multi-radius local volume estimate over the
+    seeded-hash sample {id % 41 == 0} at radii 1, 2, 3."""
+    from networkit_spark.operators.volume import volume
+
+    g = _undirected_graph(spark, sf_dir)
+    return volume(g, [1.0, 2.0, 3.0], modulus=41).select(
+        "r", F.round("volume", 9).alias("volume")
+    )
+
+
+def q_nf_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NeighborhoodFunctionHeuristic (random strategy = the hash
+    sample {id % 37 == 0}): endpoint-anchored cumulative NF estimate."""
+    from networkit_spark.operators.volume import (
+        neighborhood_function_heuristic,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    return neighborhood_function_heuristic(g, strategy="random", modulus=37)
+
+
+QUERIES.update({
+    "volume_r123": q_volume,
+    "nf_heuristic": q_nf_heuristic,
+})
