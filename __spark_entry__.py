@@ -98,6 +98,11 @@ def oracle_sql() -> dict[str, str]:
         "geometric_mean_scores": o.geometric_mean_sql(),
         "volume_r123": o.volume_sql(),
         "nf_heuristic": o.nf_heuristic_sql(),
+        "commute_time_cycle": o.commute_time_cycle_sql(),
+        "spanning_edge_lollipop": o.spanning_edge_lollipop_sql(),
+        "electrical_closeness_lollipop": o.electrical_closeness_lollipop_sql(),
+        "group_closeness_4": o.group_closeness_sql(),
+        "group_harmonic_4": o.group_harmonic_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

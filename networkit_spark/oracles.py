@@ -3013,3 +3013,175 @@ SELECT u, v,
                   ELSE 0.0 END, 9) AS score
 FROM etd
 """
+
+
+def commute_time_cycle_sql() -> str:
+    """Closed form for the 24-cycle the Spark query builds over the 24
+    smallest vertex ids: effective resistance between nodes j apart is
+    j·(n−j)/n, vol = 2n, so ctd = sqrt(2·j·(n−j)) — exact, no solver."""
+    return f"""
+WITH {EDGES_CTE},
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM v
+),
+s0 AS (SELECT id AS s FROM ranked WHERE rk = 0),
+tgt AS (SELECT rk, id AS t FROM ranked WHERE rk IN (1, 3, 6, 12))
+SELECT s0.s AS s, tgt.t AS t,
+       ROUND(sqrt(2.0 * tgt.rk * (24 - tgt.rk)), 6) AS ctd
+FROM s0 CROSS JOIN tgt
+"""
+
+
+LOLLIPOP_CTE = f"""
+{EDGES_CTE},
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM v
+  QUALIFY rk < 18
+)
+""".strip()
+
+
+def spanning_edge_lollipop_sql() -> str:
+    """Closed form on the lollipop the Spark query builds (12-cycle over
+    ranks 0..11 + pendant 6-path attached at rank 0): cycle edges have
+    effective resistance (c−1)/c = 11/12, bridge/path edges exactly 1."""
+    return f"""
+WITH {LOLLIPOP_CTE},
+lolli AS (
+  -- cycle edges (rank i) -- (rank (i+1) mod 12), then bridge + path
+  SELECT a.id AS x, b.id AS y, ROUND(11.0 / 12.0, 6) AS score
+  FROM ranked a JOIN ranked b ON b.rk = (a.rk + 1) % 12
+  WHERE a.rk < 12 AND b.rk < 12
+  UNION ALL
+  SELECT a.id AS x, b.id AS y, 1.0 AS score
+  FROM ranked a JOIN ranked b
+    ON (a.rk = 0 AND b.rk = 12) OR (b.rk = a.rk + 1 AND a.rk >= 12)
+)
+SELECT least(x, y) AS u, greatest(x, y) AS v, score FROM lolli
+"""
+
+
+def electrical_closeness_lollipop_sql() -> str:
+    """farness(u) = Σ_v r(u,v) from the lollipop's closed-form pairwise
+    resistances (series/parallel): cycle-cycle d(12−d)/12, path-path
+    |i−j|, mixed r_cycle(i,0) + path hops; score = (n−1)/farness."""
+    return f"""
+WITH {LOLLIPOP_CTE},
+pairres AS (
+  SELECT a.id AS id, a.rk AS i, b.rk AS j,
+         CASE
+           WHEN a.rk < 12 AND b.rk < 12 THEN
+             least(abs(a.rk - b.rk), 12 - abs(a.rk - b.rk))
+             * (12 - least(abs(a.rk - b.rk), 12 - abs(a.rk - b.rk))) / 12.0
+           WHEN a.rk >= 12 AND b.rk >= 12 THEN abs(a.rk - b.rk) * 1.0
+           WHEN a.rk < 12 THEN
+             least(a.rk, 12 - a.rk) * (12 - least(a.rk, 12 - a.rk)) / 12.0
+             + (b.rk - 11)
+           ELSE
+             least(b.rk, 12 - b.rk) * (12 - least(b.rk, 12 - b.rk)) / 12.0
+             + (a.rk - 11)
+         END AS r
+  FROM ranked a JOIN ranked b ON a.rk <> b.rk
+)
+SELECT id, ROUND(17.0 / SUM(r), 6) AS score
+FROM pairres GROUP BY id
+"""
+
+
+def _group_greedy_rounds_sql(k: int, harmonic: bool) -> str:
+    """Unrolled k-round greedy twin of operators/groupcentrality: pick
+    p1..pk with the same (gain DESC, id ASC) rule, maintaining d{i} =
+    dist(v, S_i) over the seed component (closeness) / the union of
+    reached sets (harmonic)."""
+    inv = "CASE WHEN {x} > 0 THEN 1.0 / {x} ELSE 0.0 END"
+    parts = []
+    if harmonic:
+        parts.append(
+            "h0 AS (SELECT s, SUM(" + inv.format(x="dist")
+            + ") AS h FROM dists GROUP BY s)"
+        )
+        parts.append("p1 AS (SELECT s FROM h0 ORDER BY h DESC, s ASC LIMIT 1)")
+    else:
+        parts.append(
+            "far0 AS (SELECT s, SUM(dist) AS far, COUNT(*) AS r"
+            " FROM dists GROUP BY s)"
+        )
+        parts.append(
+            "p1 AS (SELECT s FROM far0 WHERE r > 1"
+            " ORDER BY far / ((r - 1.0) * (r - 1.0)) ASC, s ASC LIMIT 1)"
+        )
+    parts.append(
+        "d1 AS (SELECT id, dist AS d FROM dists WHERE s = (SELECT s FROM p1))"
+    )
+    for i in range(2, k + 1):
+        members = " UNION ALL ".join(f"SELECT s FROM p{j}" for j in range(1, i))
+        prev = f"d{i - 1}"
+        if harmonic:
+            newd = f"LEAST(COALESCE({prev}.d, dd.dist), dd.dist)"
+            term = (
+                inv.format(x=newd) + " - CASE WHEN " + prev + ".d IS NOT NULL"
+                " AND " + prev + ".d > 0 THEN 1.0 / " + prev + ".d ELSE 0.0 END"
+            )
+            parts.append(
+                f"g{i} AS (SELECT dd.s, SUM({term}) AS gain FROM dists dd"
+                f" LEFT JOIN {prev} ON dd.id = {prev}.id"
+                f" WHERE dd.s NOT IN ({members}) GROUP BY dd.s)"
+            )
+        else:
+            parts.append(
+                f"g{i} AS (SELECT dd.s, SUM(GREATEST(0, {prev}.d - dd.dist))"
+                f" AS gain FROM dists dd JOIN {prev} ON dd.id = {prev}.id"
+                f" WHERE dd.s NOT IN ({members}) GROUP BY dd.s)"
+            )
+        parts.append(
+            f"p{i} AS (SELECT s FROM g{i} ORDER BY gain DESC, s ASC LIMIT 1)"
+        )
+        if harmonic:
+            parts.append(
+                f"d{i} AS (SELECT COALESCE({prev}.id, dd.id) AS id,"
+                f" LEAST(COALESCE({prev}.d, dd.dist), COALESCE(dd.dist,"
+                f" {prev}.d)) AS d FROM {prev} FULL JOIN"
+                f" (SELECT id, dist FROM dists WHERE s = (SELECT s FROM p{i}))"
+                f" dd ON dd.id = {prev}.id)"
+            )
+        else:
+            parts.append(
+                f"d{i} AS (SELECT {prev}.id,"
+                f" LEAST({prev}.d, COALESCE(dd.dist, {prev}.d)) AS d"
+                f" FROM {prev} LEFT JOIN"
+                f" (SELECT id, dist FROM dists WHERE s = (SELECT s FROM p{i}))"
+                f" dd ON dd.id = {prev}.id)"
+            )
+    return ",\n".join(parts)
+
+
+def group_closeness_sql(k: int = 4) -> str:
+    rounds = _group_greedy_rounds_sql(k, harmonic=False)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS ord, s AS id FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()},
+{rounds},
+sc AS (SELECT ROUND(((SELECT COUNT(*) FROM v) - {k}.0) / SUM(d), 9) AS score
+       FROM d{k})
+SELECT ord, id, (SELECT score FROM sc) AS score FROM ({picks})
+"""
+
+
+def group_harmonic_sql(k: int = 4) -> str:
+    rounds = _group_greedy_rounds_sql(k, harmonic=True)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS ord, s AS id FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()},
+{rounds},
+sc AS (SELECT ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 9)
+       AS score FROM d{k})
+SELECT ord, id, (SELECT score FROM sc) AS score FROM ({picks})
+"""

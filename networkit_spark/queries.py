@@ -1799,3 +1799,107 @@ QUERIES.update({
     "volume_r123": q_volume,
     "nf_heuristic": q_nf_heuristic,
 })
+
+
+# ----------------------------------------------------------- commute time
+def q_commute_time_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommuteTimeDistance (exact run(), CommuteTimeDistance.cpp:38-67)
+    on the deterministic 24-cycle over the web graph's 24 smallest
+    vertex ids: the block-CG Laplacian solve must reproduce the cycle
+    closed form ctd(0, j) = sqrt(2·j·(n−j)) (effective resistance
+    d(n−d)/n times vol = 2n) to 6 decimals."""
+    from networkit_spark.operators.commutetime import commute_time_distance
+
+    g = _undirected_graph(spark, sf_dir)
+    n_cyc = 24
+    ids = [r["id"] for r in g.vertices().orderBy("id").limit(n_cyc).collect()]
+    cycle_edges = [(ids[i], ids[(i + 1) % n_cyc]) for i in range(n_cyc)]
+    cyc = Graph.from_pairs(spark, cycle_edges, directed=False)
+    pairs = [(ids[0], ids[j]) for j in (1, 3, 6, 12)]
+    out = commute_time_distance(cyc, pairs, tol=1e-11)
+    return out.select("s", "t", F.round("ctd", 6).alias("ctd"))
+
+
+QUERIES.update({"commute_time_cycle": q_commute_time_cycle})
+
+
+# ------------------------------------------------------------- electrical
+def _lollipop(spark: SparkSession, sf_dir: str):
+    """Deterministic lollipop over the web graph's 18 smallest vertex
+    ids: 12-cycle over ranks 0..11 plus a 6-node pendant path (ranks
+    12..17) attached at rank 0. Non-uniform effective resistances with
+    SQL closed forms — the exact-oracle fixture for the electrical
+    centralities."""
+    g = _undirected_graph(spark, sf_dir)
+    ids = [r["id"] for r in g.vertices().orderBy("id").limit(18).collect()]
+    c = 12
+    edges = [(ids[i], ids[(i + 1) % c]) for i in range(c)]
+    edges.append((ids[0], ids[c]))
+    edges += [(ids[j], ids[j + 1]) for j in range(c, 17)]
+    return Graph.from_pairs(spark, edges, directed=False)
+
+
+def q_spanning_edge_lollipop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact spanning-edge centrality (SpanningEdgeCentrality.cpp:33-66)
+    on the lollipop: cycle edges have effective resistance 11/12, path
+    and bridge edges exactly 1."""
+    from networkit_spark.operators.electrical import spanning_edge_centrality
+
+    cyc = _lollipop(spark, sf_dir)
+    out = spanning_edge_centrality(cyc, tol=1e-11)
+    return out.select("u", "v", F.round("score", 6).alias("score"))
+
+
+def q_electrical_closeness_lollipop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact electrical closeness (ApproxElectricalCloseness.cpp:529-538
+    with the exact L+ diagonal) on the lollipop; the oracle sums the
+    closed-form pairwise resistances."""
+    from networkit_spark.operators.electrical import electrical_closeness
+
+    cyc = _lollipop(spark, sf_dir)
+    out = electrical_closeness(cyc, tol=1e-11)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+QUERIES.update({
+    "spanning_edge_lollipop": q_spanning_edge_lollipop,
+    "electrical_closeness_lollipop": q_electrical_closeness_lollipop,
+})
+
+
+# ------------------------------------------------------------ group centrality
+def q_group_closeness_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy group closeness, k=4 (GroupCloseness.cpp run +
+    hpp scoreOfGroup); deterministic (gain DESC, id ASC) tie-break,
+    replayed exactly by the unrolled-greedy oracle."""
+    from networkit_spark.operators.groupcentrality import group_closeness
+
+    g = _undirected_graph(spark, sf_dir)
+    members, score = group_closeness(g, 4)
+    return spark.createDataFrame(
+        [(i + 1, m, round(score, 9)) for i, m in enumerate(members)],
+        "ord int, id long, score double",
+    )
+
+
+def q_group_harmonic_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy group harmonic closeness, k=4
+    (GroupHarmonicCloseness.cpp; score = Σ_{dist>0} 1/dist(v,S))."""
+    from networkit_spark.operators.groupcentrality import (
+        group_harmonic_closeness,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    members, score = group_harmonic_closeness(g, 4)
+    return spark.createDataFrame(
+        [(i + 1, m, round(score, 9)) for i, m in enumerate(members)],
+        "ord int, id long, score double",
+    )
+
+
+QUERIES.update({
+    "group_closeness_4": q_group_closeness_4,
+    "group_harmonic_4": q_group_harmonic_4,
+})
