@@ -103,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "electrical_closeness_lollipop": o.electrical_closeness_lollipop_sql(),
         "group_closeness_4": o.group_closeness_sql(),
         "group_harmonic_4": o.group_harmonic_sql(),
+        "forest_closeness_cliques": o.forest_closeness_cliques_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

@@ -94,15 +94,19 @@ def _by_j(vals):
 
 def _solve_cg_block(
     arcs: DataFrame, verts: DataFrame, b: DataFrame, k: int,
-    tol: float = 1e-8, max_iter: int = 2000,
+    tol: float = 1e-8, max_iter: int = 2000, shift: float = 0.0,
 ) -> DataFrame:
-    """X with L X = B for k right-hand sides at once (each column of B
-    must sum to 0 on a connected graph); b is long-format
-    (id LONG, j INT, b DOUBLE) with j in [0, k), missing cells = 0;
-    returns (id, j, x). Block Jacobi-preconditioned CG, one gather join
-    + two groupBy(j) scalar aggregations + one lineage cut per
-    iteration; per-system convergence flags live on the driver."""
+    """X with (L + shift·I) X = B for k right-hand sides at once (for
+    shift = 0 each column of B must sum to 0 on a connected graph;
+    shift > 0 makes the system SPD — forest matrix etc. — with no
+    nullspace caveats); b is long-format (id LONG, j INT, b DOUBLE)
+    with j in [0, k), missing cells = 0; returns (id, j, x). Block
+    Jacobi-preconditioned CG, one gather join + two groupBy(j) scalar
+    aggregations + one lineage cut per iteration; per-system
+    convergence flags live on the driver."""
     spark = arcs.sparkSession
+    if shift:
+        verts = verts.select("id", (F.col("deg") + F.lit(shift)).alias("deg"))
     cols = spark.range(k).select(F.col("id").cast("int").alias("j"))
     state = truncate(
         verts.crossJoin(cols)

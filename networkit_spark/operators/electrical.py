@@ -156,6 +156,46 @@ def electrical_closeness(graph: Graph, tol: float = 1e-9) -> DataFrame:
     return out
 
 
+def forest_centrality(graph: Graph, tol: float = 1e-9) -> DataFrame:
+    """(id, score) forest closeness (ForestCentrality.cpp:129-146):
+    score(u) = n / (n·Ω[u,u] + tr(Ω) − 2) with Ω = (I + L)⁻¹ the forest
+    matrix. The reference estimates diag(Ω) by uniform-spanning-tree
+    sampling on an augmented graph; here it is EXACT via one block-CG
+    run on the SPD system (I+L)X = I (no nullspace caveats, works on
+    disconnected graphs — Ω is block diagonal). The '−2' folds in
+    Σ_v Ω[u,v] = 1, since (I+L)𝟙 = 𝟙 row-wise per component."""
+    arcs, verts = _laplacian_parts(graph)
+    ids = [r["id"] for r in verts.select("id").collect()]
+    n = len(ids)
+    if n > _EXACT_CAP:
+        raise ValueError(
+            f"exact forest-matrix diagonal solves one system per vertex "
+            f"({n} > {_EXACT_CAP})"
+        )
+    spark = graph.edges.sparkSession
+    sys_map = spark.createDataFrame(
+        [(j, u) for j, u in enumerate(ids)], "j int, u long"
+    )
+    b = spark.createDataFrame(
+        [(u, j, 1.0) for j, u in enumerate(ids)], "id long, j int, b double"
+    )
+    x = _solve_cg_block(arcs, verts, b, n, tol=tol, shift=1.0)
+    arcs.unpersist()
+    diag = (
+        x.join(sys_map, "j")
+        .filter(F.col("id") == F.col("u"))
+        .select("id", F.col("x").alias("diag"))
+        .persist()
+    )
+    tr = float(diag.agg(F.sum("diag")).first()[0])
+    return diag.select(
+        "id",
+        (F.lit(float(n))
+         / (F.lit(float(n)) * F.col("diag") + F.lit(tr) - F.lit(2.0)))
+        .alias("score"),
+    )
+
+
 def electrical_closeness_approx(
     graph: Graph, tol: float = 0.3, seed: int = 1
 ) -> DataFrame:

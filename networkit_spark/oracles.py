@@ -3185,3 +3185,18 @@ sc AS (SELECT ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 9)
        AS score FROM d{k})
 SELECT ord, id, (SELECT score FROM sc) AS score FROM ({picks})
 """
+
+
+def forest_closeness_cliques_sql() -> str:
+    """Closed form for the disjoint K12 ∪ K6 the Spark query builds:
+    diag(Ω) of K_c is 2/(c+1), row sums of Ω are 1, so
+    score(u) = n / (n·2/(c_u+1) + tr − 2) with n = 18 and
+    tr = 12·2/13 + 6·2/7."""
+    return f"""
+WITH {LOLLIPOP_CTE}
+SELECT id,
+       ROUND(18.0 / (18.0 * (CASE WHEN rk < 12 THEN 2.0/13.0
+                                  ELSE 2.0/7.0 END)
+                     + (12.0 * 2.0/13.0 + 6.0 * 2.0/7.0) - 2.0), 6) AS score
+FROM ranked
+"""

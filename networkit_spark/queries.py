@@ -1903,3 +1903,23 @@ QUERIES.update({
     "group_closeness_4": q_group_closeness_4,
     "group_harmonic_4": q_group_harmonic_4,
 })
+
+
+def q_forest_closeness_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact forest closeness (ForestCentrality.cpp:129-146) on the
+    deterministic disjoint K12 ∪ K6 over the web graph's 18 smallest
+    vertex ids — diag of the forest matrix of K_c is exactly 2/(c+1),
+    so the oracle is closed-form; also exercises the solver's
+    disconnected-graph path (Ω block diagonal)."""
+    from networkit_spark.operators.electrical import forest_centrality
+
+    g = _undirected_graph(spark, sf_dir)
+    ids = [r["id"] for r in g.vertices().orderBy("id").limit(18).collect()]
+    edges = [(ids[i], ids[j]) for i in range(12) for j in range(i + 1, 12)]
+    edges += [(ids[i], ids[j]) for i in range(12, 18) for j in range(i + 1, 18)]
+    cliq = Graph.from_pairs(spark, edges, directed=False)
+    out = forest_centrality(cliq, tol=1e-11)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+QUERIES.update({"forest_closeness_cliques": q_forest_closeness_cliques})

@@ -88,3 +88,38 @@ def test_exact_cap_raises(spark):  # noqa: F811
             el.electrical_closeness(g)
     finally:
         el._EXACT_CAP = old
+
+
+def test_forest_centrality_matches_inverse(spark):  # noqa: F811
+    g, und = _connected_er(spark, 14, 0.3, seed=12)
+    L = np.zeros((14, 14))
+    for u, v in und:
+        L[u, u] += 1
+        L[v, v] += 1
+        L[u, v] -= 1
+        L[v, u] -= 1
+    Om = np.linalg.inv(np.eye(14) + L)
+    tr = Om.trace()
+    got = {r["id"]: r["score"]
+           for r in el.forest_centrality(g).collect()}
+    for u in range(14):
+        want = 14.0 / (14 * Om[u, u] + tr - 2.0)
+        assert abs(got[u] - want) < 1e-6, (u, got[u], want)
+
+
+def test_forest_centrality_disjoint_cliques(spark):  # noqa: F811
+    # forest-matrix diagonal of K_c is exactly 2/(c+1); two disjoint
+    # cliques give a closed-form, non-uniform score vector
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(10 + i, 10 + j) for i in range(3) for j in range(i + 1, 3)]
+    g = Graph.from_pairs(spark, edges, directed=False)
+    got = {r["id"]: r["score"]
+           for r in el.forest_centrality(g).collect()}
+    n = 8
+    tr = 5 * (2.0 / 6.0) + 3 * (2.0 / 4.0)
+    for u in range(5):
+        want = n / (n * (2.0 / 6.0) + tr - 2.0)
+        assert abs(got[u] - want) < 1e-8
+    for u in (10, 11, 12):
+        want = n / (n * (2.0 / 4.0) + tr - 2.0)
+        assert abs(got[u] - want) < 1e-8
