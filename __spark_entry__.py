@@ -104,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "group_closeness_4": o.group_closeness_sql(),
         "group_harmonic_4": o.group_harmonic_sql(),
         "forest_closeness_cliques": o.forest_closeness_cliques_sql(),
+        "complex_paths_adopters": o.complex_paths_adopters_sql(),
+        "complex_path_length_seed": o.complex_path_length_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),

@@ -3200,3 +3200,73 @@ SELECT id,
                      + (12.0 * 2.0/13.0 + 6.0 * 2.0/7.0) - 2.0), 6) AS score
 FROM ranked
 """
+
+
+def _complex_contagion_cte(threshold: int = 3, rounds: int = 6) -> str:
+    """Unrolled replay of complexPathsGraph's synchronous fixed point
+    (ComplexPaths.cpp:127-171): contributor set c{r}, complex edges =
+    und edges incident to it, influence = complex degree. Extra rounds
+    past the true fixed point are idempotent, so `rounds` only needs to
+    be an upper bound (measured: 1 round at sf0.001, 3 at sf0.01)."""
+    parts = [f"""seed AS MATERIALIZED (SELECT MIN(id) AS s FROM v),
+nb AS MATERIALIZED (SELECT dst AS id FROM sym, seed WHERE src = s
+       ORDER BY dst LIMIT {threshold - 1}),
+c0 AS MATERIALIZED (SELECT s AS id, 0 AS "round" FROM seed
+       UNION SELECT id, 0 FROM nb)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""ce{r} AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE u IN (SELECT id FROM c{r - 1}) OR v IN (SELECT id FROM c{r - 1})
+),
+inf{r} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS c FROM (
+    SELECT u AS id FROM ce{r} UNION ALL SELECT v AS id FROM ce{r}
+  ) GROUP BY id
+),
+c{r} AS MATERIALIZED (
+  SELECT id, "round" FROM c{r - 1}
+  UNION ALL
+  SELECT id, {r} AS "round" FROM inf{r}
+  WHERE c >= {threshold} AND id NOT IN (SELECT id FROM c{r - 1})
+)""")
+    return ",\n".join(parts)
+
+
+def complex_paths_adopters_sql(threshold: int = 3, rounds: int = 6) -> str:
+    return f"""
+WITH {EDGES_CTE},
+{_complex_contagion_cte(threshold, rounds)}
+SELECT id, CAST("round" AS INT) AS "round" FROM c{rounds}
+"""
+
+
+def complex_path_length_sql(
+    threshold: int = 3, rounds: int = 6, cap: int = 64
+) -> str:
+    """PLci of the seed: BFS on the fixed-point complex graph via a
+    bounded recursive CTE (cap ≫ measured eccentricity; UNION dedups
+    (id, d) pairs so the state stays O(n·cap)); unreachable vertices
+    contribute 0 via the SUM-over-reached / n form."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+{_complex_contagion_cte(threshold, rounds)},
+cef AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE u IN (SELECT id FROM c{rounds}) OR v IN (SELECT id FROM c{rounds})
+),
+csym AS (
+  SELECT u AS src, v AS dst FROM cef
+  UNION ALL SELECT v AS src, u AS dst FROM cef
+),
+reach(id, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT csym.dst, reach.d + 1
+  FROM reach JOIN csym ON csym.src = reach.id
+  WHERE reach.d < {cap}
+),
+dist AS (SELECT id, MIN(d) AS d FROM reach GROUP BY id)
+SELECT (SELECT s FROM seed) AS id,
+       ROUND(SUM(d) * 1.0 / (SELECT COUNT(*) FROM v), 9) AS plci
+FROM dist
+"""

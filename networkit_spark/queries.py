@@ -1923,3 +1923,35 @@ def q_forest_closeness_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"forest_closeness_cliques": q_forest_closeness_cliques})
+
+
+# ------------------------------------------------------ complex paths (r2.5)
+def q_complex_paths_adopters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adopters (id, activation round) of the complex-contagion fixed
+    point (ComplexPaths.cpp:127-171) seeded at the smallest vertex id,
+    threshold 3 — seeds are the deterministic smallest-id neighbors
+    (the engine's std::sample substitution, replayed by the oracle)."""
+    from networkit_spark.operators.complexpaths import complex_paths_graph
+
+    g = _undirected_graph(spark, sf_dir)
+    seed = g.vertices().agg(F.min("id")).first()[0]
+    _, adopters = complex_paths_graph(g, int(seed), 3)
+    return adopters.select("id", "round")
+
+
+def q_complex_path_length_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLci of the smallest vertex id (complexPathLength,
+    ComplexPaths.cpp:185-208, threshold 3): mean complex-graph BFS
+    distance over ALL n vertices, unreachable = 0."""
+    from networkit_spark.operators.complexpaths import complex_path_lengths
+
+    g = _undirected_graph(spark, sf_dir)
+    seed = g.vertices().agg(F.min("id")).first()[0]
+    out = complex_path_lengths(g, 3, sources=[int(seed)])
+    return out.select("id", F.round("plci", 9).alias("plci"))
+
+
+QUERIES.update({
+    "complex_paths_adopters": q_complex_paths_adopters,
+    "complex_path_length_seed": q_complex_path_length_seed,
+})
