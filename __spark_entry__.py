@@ -106,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "forest_closeness_cliques": o.forest_closeness_cliques_sql(),
         "complex_paths_adopters": o.complex_paths_adopters_sql(),
         "complex_path_length_seed": o.complex_path_length_sql(),
+        "link_pred_extended": o.link_pred_extended_sql(),
+        "link_pred_katz": o.link_pred_katz_sql(),
+        "adi_pair_scores": o.adi_pair_scores_sql(),
         "link_pred_roc": o.link_pred_curve_sql("roc"),
         "link_pred_pr": o.link_pred_curve_sql("pr"),
         "ann_lsh_buckets": o.ann_buckets_sql(),
@@ -166,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(
             _side_channel("matching_summary")
+        ),
+        "suitor_matching": o.suitor_matching_sql(
+            _side_channel("suitor_matching")
         ),
         # Convergence-mode queries: RECURSIVE-CTE twins — DuckDB iterates
         # the same superstep to the same stopping rule, so the (data-

@@ -527,8 +527,12 @@ def algebraic_distance_loads(
     omega: float = 0.5,
     seed: int = 1,
     checkpoint_every: int = 5,
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, sys, load) — normalized algebraic-distance test vectors.
+    normalize=False returns the raw smoothed loads — the
+    AlgebraicDistanceIndex (linkprediction) semantics, which skip the
+    per-system min-max step.
 
     AlgebraicDistance.cpp:27-110 semantics (Chen & Safro): num_systems
     test vectors random-init in [0,1), num_iters Jacobi sweeps
@@ -599,17 +603,20 @@ def algebraic_distance_loads(
         else:
             state = new
 
-    mm = state.groupBy("sys").agg(
-        F.min("load").alias("mn"), F.max("load").alias("mx")
-    )
-    out = state.join(F.broadcast(mm), "sys").select(
-        "id",
-        "sys",
-        F.when(F.col("mn") == F.col("mx"), F.lit(0.0))
-        .otherwise((F.col("mn") - F.col("load")) / (F.col("mn") - F.col("mx")))
-        .alias("load"),
-    )
-    out = truncate(out, release=state)
+    if normalize:
+        mm = state.groupBy("sys").agg(
+            F.min("load").alias("mn"), F.max("load").alias("mx")
+        )
+        out = state.join(F.broadcast(mm), "sys").select(
+            "id",
+            "sys",
+            F.when(F.col("mn") == F.col("mx"), F.lit(0.0))
+            .otherwise((F.col("mn") - F.col("load")) / (F.col("mn") - F.col("mx")))
+            .alias("load"),
+        )
+        out = truncate(out, release=state)
+    else:
+        out = state
     sym.unpersist()
     wdeg.unpersist()
     return out

@@ -87,3 +87,135 @@ def local_max_matching(graph: Graph, max_rounds: int = 64) -> DataFrame:
     for p in matched_pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def suitor_matching(graph: Graph, max_rounds: int = 256) -> DataFrame:
+    """Matching edges (u, v, weight), u < v — SuitorMatcher.cpp:55-146.
+
+    DOCUMENTED SUBSTITUTION: the reference seeds each proposal scan with
+    a self-floor (heaviest = ws[current], partner = suitor[current],
+    :59-60) whose `v < partner` tie-break blocks re-proposing to your own
+    suitor; that makes its output depend on the forNodes processing
+    order. Proof instance: weights {0-1: 1, 0-2: 2} — processing 0,1,2
+    yields matching {(0,1)} (weight 1), processing 2 first yields
+    {(0,2)} (weight 2); both pass the reference's own proper+maximal
+    assertions. A faithful distributed replay would be a sequential
+    chain replay (DFS-class). This engine therefore implements the
+    CLASSIC suitor algorithm (Manne & Halappanavar, no self-floor) with
+    deterministic tie-breaks (heavier weight, then smaller other
+    endpoint, then smaller proposer): its fixed point is unique, order-
+    independent, and equals the greedy matching over the total edge
+    order (weight desc, canonical pair asc) — the same matching the
+    engine's local_max_matching converges to, and a member of the same
+    1/2-approximation family the reference certifies.
+
+    Spark shape per round: active nodes pick their best admissible
+    target (one gather join + struct-argmax), targets accept their best
+    incoming proposal (one struct-argmax), displaced suitors and
+    rejected proposers re-enter the active set. ws starts at 0 and
+    suitor at none like the reference (:126-127), so zero-weight edges
+    are proposable and negative-weight edges never are. Rounds are
+    bounded by the longest displacement chain (O(log) on random weights;
+    hard cap max_rounds).
+    """
+    if graph.directed:
+        raise ValueError("SuitorMatcher does not support directed graphs")
+    if graph.number_of_self_loops():
+        raise ValueError("SuitorMatcher does not support self-loops")
+    NONE = (1 << 62)  # stands for the reference's `none` in comparisons
+    sym = graph.symmetrized_edges().select("src", "dst", "weight").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
+    spark = sym.sparkSession
+    # state: best proposal each node HOLDS (ws, suitor); reference init
+    state = truncate(
+        graph.vertices().select(
+            "id", F.lit(0.0).alias("ws"), F.lit(NONE).alias("suitor")
+        )
+    )
+    active = truncate(graph.vertices().select("id"))
+    for _ in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        sv = state.select(
+            F.col("id").alias("dst"),
+            F.col("ws").alias("ws_v"),
+            F.col("suitor").alias("s_v"),
+        )
+        cand = (
+            sym.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(sv, "dst")
+            .filter(
+                (F.col("weight") > F.col("ws_v"))
+                | ((F.col("weight") == F.col("ws_v")) & (F.col("src") < F.col("s_v")))
+            )
+        )
+        # each active node proposes to its best admissible target
+        proposals = (
+            cand.groupBy("src")
+            .agg(F.max(F.struct(F.col("weight"), (-F.col("dst")).alias("nd"), F.col("dst")))
+                 .alias("pick"))
+            .select(
+                F.col("src").alias("prop"),
+                F.col("pick.dst").alias("tgt"),
+                F.col("pick.weight").alias("w"),
+            )
+        )
+        proposals = truncate(proposals)
+        if proposals.limit(1).count() == 0:
+            break
+        # targets accept their best incoming proposal
+        accepted = (
+            proposals.groupBy("tgt")
+            .agg(F.max(F.struct(F.col("w"), (-F.col("prop")).alias("np"), F.col("prop")))
+                 .alias("win"))
+            .select(
+                F.col("tgt").alias("id"),
+                F.col("win.w").alias("new_ws"),
+                F.col("win.prop").alias("new_suitor"),
+            )
+        )
+        new_state = truncate(
+            state.join(accepted, "id", "left").select(
+                "id",
+                F.coalesce("new_ws", "ws").alias("ws"),
+                F.coalesce("new_suitor", "suitor").alias("suitor"),
+            ),
+            release=state,
+        )
+        # displaced previous suitors + proposers whose proposal lost
+        displaced = (
+            state.join(accepted, "id", "left_semi")
+            .filter(F.col("suitor") != NONE)
+            .select(F.col("suitor").alias("id"))
+        )
+        winners = accepted.select(F.col("new_suitor").alias("prop"))
+        rejected = proposals.join(winners, "prop", "left_anti").select(
+            F.col("prop").alias("id")
+        )
+        active = truncate(displaced.unionByName(rejected).distinct(), release=active)
+        state = new_state
+    matched = (
+        state.filter(F.col("suitor") != NONE)
+        .select(F.col("id").alias("a"), F.col("suitor").alias("b"))
+    )
+    mutual = (
+        matched.alias("x")
+        .join(
+            matched.select(F.col("a").alias("b"), F.col("b").alias("a")).alias("y"),
+            ["a", "b"],
+            "left_semi",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    out = mutual.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"), "weight"),
+        ["u", "v"],
+        "left",
+    ).select("u", "v", "weight")
+    out = out.persist()
+    out.count()
+    sym.unpersist()
+    return out

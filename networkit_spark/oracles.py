@@ -3270,3 +3270,179 @@ SELECT (SELECT s FROM seed) AS id,
        ROUND(SUM(d) * 1.0 / (SELECT COUNT(*) FROM v), 9) AS plci
 FROM dist
 """
+
+
+_D2_CAND_CTE = """
+nbr AS MATERIALIZED (SELECT src AS u, dst AS w FROM sym),
+degq AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.u AS u, b.u AS v
+  FROM nbr a JOIN nbr b ON a.w = b.w AND a.u < b.u
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = a.u AND e.v = b.u)
+    AND (a.u * 7 + b.u) % 101 = 0
+)
+""".strip()
+
+
+def link_pred_extended_sql() -> str:
+    """Twin of queries.q_link_pred_extended — including the reference
+    AdjustedRandIndex set_union quirk (b == c == |union|)."""
+    return f"""
+WITH {EDGES_CTE},
+{_D2_CAND_CTE},
+cn AS (
+  SELECT c.u, c.v, CAST(COUNT(*) AS DOUBLE) AS a
+  FROM cand c JOIN nbr x ON x.u = c.u JOIN nbr y ON y.u = c.v AND y.w = x.w
+  GROUP BY c.u, c.v
+),
+conn AS (
+  SELECT c.u, c.v, CAST(COUNT(*) AS DOUBLE) AS conn
+  FROM cand c
+  JOIN nbr x ON x.u = c.u
+  JOIN nbr y ON y.u = c.v
+  WHERE EXISTS (SELECT 1 FROM sym s WHERE s.src = x.w AND s.dst = y.w)
+  GROUP BY c.u, c.v
+),
+base AS (
+  SELECT c.u, c.v,
+         COALESCE(cn.a, 0.0) AS a,
+         du.deg AS du, dv.deg AS dv,
+         COALESCE(conn.conn, 0.0) AS conn,
+         du.deg + dv.deg - COALESCE(cn.a, 0.0) AS uni,
+         (SELECT COUNT(*) FROM v) - (du.deg + dv.deg - COALESCE(cn.a, 0.0)) AS d
+  FROM cand c
+  LEFT JOIN cn ON cn.u = c.u AND cn.v = c.v
+  LEFT JOIN conn ON conn.u = c.u AND conn.v = c.v
+  JOIN degq du ON du.id = c.u
+  JOIN degq dv ON dv.id = c.v
+)
+SELECT u, v,
+       ROUND(CASE WHEN (a*uni + a*uni + 2*a*d + uni*uni + uni*d + uni*uni + uni*d) = 0
+                  THEN 0.0
+                  ELSE 2 * (a*d - uni*uni)
+                       / (a*uni + a*uni + 2*a*d + uni*uni + uni*d + uni*uni + uni*d)
+             END, 9) AS adjusted_rand,
+       ROUND(CASE WHEN du * dv > 0 THEN a / SQRT(du * dv) ELSE 0.0 END, 9)
+         AS neighborhood_distance,
+       uni AS total_neighbors,
+       a + conn AS neighbors_measure,
+       du AS u_degree,
+       dv AS v_degree,
+       CAST(CASE WHEN u % 7 = v % 7 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS same_community
+FROM base
+"""
+
+
+def link_pred_katz_sql(max_path_length: int = 3, damping: float = 0.1) -> str:
+    """Twin of queries.q_link_pred_katz: per-pair start = smaller-degree
+    endpoint (ties -> u), walk counts advanced L times, damping powers
+    pre-computed in Python so both engines multiply the SAME doubles."""
+    parts = [
+        "starts AS MATERIALIZED (SELECT DISTINCT CASE WHEN du.deg > dv.deg "
+        "THEN c.v ELSE c.u END AS s FROM cand c "
+        "JOIN degq du ON du.id = c.u JOIN degq dv ON dv.id = c.v)",
+        "w0 AS MATERIALIZED (SELECT s, s AS id, CAST(1.0 AS DOUBLE) AS cnt FROM starts)",
+    ]
+    for l in range(1, max_path_length + 1):
+        parts.append(
+            f"w{l} AS MATERIALIZED (SELECT w.s, e.dst AS id, SUM(w.cnt) AS cnt "
+            f"FROM w{l - 1} w JOIN sym e ON e.src = w.id GROUP BY w.s, e.dst)"
+        )
+    contribs = " UNION ALL ".join(
+        f"SELECT s, id, CAST({damping ** l!r} AS DOUBLE) * cnt AS sc FROM w{l}"
+        for l in range(1, max_path_length + 1)
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_D2_CAND_CTE},
+{", ".join(parts)},
+scores AS (SELECT s, id, SUM(sc) AS score FROM ({contribs}) GROUP BY s, id),
+orient AS (
+  SELECT c.u, c.v,
+         CASE WHEN du.deg > dv.deg THEN c.v ELSE c.u END AS s,
+         CASE WHEN du.deg > dv.deg THEN c.u ELSE c.v END AS e
+  FROM cand c JOIN degq du ON du.id = c.u JOIN degq dv ON dv.id = c.v
+)
+SELECT o.u, o.v, ROUND(COALESCE(sc.score, 0.0), 9) AS score
+FROM orient o LEFT JOIN scores sc ON sc.s = o.s AND sc.id = o.e
+"""
+
+
+def adi_pair_scores_sql(
+    num_systems: int = 3, num_iters: int = 4, omega: float = 0.5,
+    seed: int = 1, norm: int = 2,
+) -> str:
+    """Twin of queries.q_adi_pair_scores: the algebraic-distance Jacobi
+    chain WITHOUT the per-system normalization (AlgebraicDistanceIndex
+    semantics), p-norm over systems on the distance-2 pairs."""
+    sys_vals = ", ".join(f"({s})" for s in range(num_systems))
+    parts = [
+        f"sysx AS (SELECT * FROM (VALUES {sys_vals}) s(sys))",
+        "wdeg AS MATERIALIZED (SELECT src AS id, SUM(weight) AS wdeg FROM sym GROUP BY src)",
+        f"""l0 AS MATERIALIZED (SELECT id, sys,
+    ('0x' || substring(md5('ad|{seed}|' || id || '|' || sys), 1, 8))::BIGINT
+      / 4294967296.0 AS load
+  FROM v CROSS JOIN sysx)""",
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(f"""l{k} AS MATERIALIZED (
+  SELECT p.id, p.sys,
+         CASE WHEN g.s IS NOT NULL
+              THEN (1.0 - {omega}) * p.load + {omega} * (g.s / w.wdeg)
+              ELSE p.load END AS load
+  FROM l{k - 1} p
+  LEFT JOIN (SELECT e.src AS id, l.sys, SUM(e.weight * l.load) AS s
+             FROM sym e JOIN l{k - 1} l ON l.id = e.dst
+             GROUP BY e.src, l.sys) g ON g.id = p.id AND g.sys = p.sys
+  LEFT JOIN wdeg w ON w.id = p.id)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{_D2_CAND_CTE},
+{chain}
+SELECT c.u, c.v,
+       ROUND(POWER(SUM(POWER(ABS(la.load - lb.load), {norm})), 1.0/{norm}), 9)
+         AS score
+FROM cand c
+JOIN l{num_iters} la ON la.id = c.u
+JOIN l{num_iters} lb ON lb.id = c.v AND lb.sys = la.sys
+GROUP BY c.u, c.v
+"""
+
+
+def suitor_matching_sql(matching_parquet: str) -> str:
+    """EXACT certificate oracle for suitor_matching: the greedy matching
+    over (w desc, canonical pair asc) is the UNIQUE matching in which
+    every non-matched edge is dominated by an adjacent higher-key
+    matched edge (induction over the key order), so verifying that
+    certificate on the side-channel copy and re-emitting its rows IS an
+    exact check — any wrong row set fails a check and empties the
+    output."""
+    return f"""
+WITH {EDGES_CTE},
+wund AS MATERIALIZED (
+  SELECT u, v, CAST((u * 31 + v * 17) % 10 + 1 AS DOUBLE) AS w FROM und),
+m AS MATERIALIZED (SELECT u, v FROM read_parquet('{matching_parquet}/*.parquet')),
+mw AS MATERIALIZED (
+  SELECT m.u, m.v, w.w FROM m JOIN wund w ON w.u = m.u AND w.v = m.v),
+nodes AS (SELECT u AS id FROM mw UNION ALL SELECT v AS id FROM mw),
+checks AS (
+  SELECT
+    (SELECT COUNT(*) FROM mw) = (SELECT COUNT(*) FROM m) AS edges_real,
+    (SELECT COUNT(DISTINCT id) FROM nodes)
+      = 2 * (SELECT COUNT(*) FROM mw) AS is_matching,
+    NOT EXISTS (
+      SELECT 1 FROM wund e
+      WHERE NOT EXISTS (SELECT 1 FROM mw x WHERE x.u = e.u AND x.v = e.v)
+        AND NOT EXISTS (
+          SELECT 1 FROM mw f
+          WHERE (f.u IN (e.u, e.v) OR f.v IN (e.u, e.v))
+            AND (f.w > e.w OR (f.w = e.w
+                 AND (f.u < e.u OR (f.u = e.u AND f.v < e.v))))
+        )
+    ) AS dominant
+)
+SELECT u, v, w AS weight FROM mw
+WHERE (SELECT edges_real AND is_matching AND dominant FROM checks)
+"""

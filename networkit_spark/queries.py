@@ -1955,3 +1955,100 @@ QUERIES.update({
     "complex_paths_adopters": q_complex_paths_adopters,
     "complex_path_length_seed": q_complex_path_length_seed,
 })
+
+
+# ------------------------------------------- extended link prediction (r2.7)
+def q_link_pred_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining LinkPredictor family (AdjustedRand incl. the reference's
+    set_union quirk, NeighborhoodDistance, TotalNeighbors,
+    NeighborsMeasure, U/VDegree, SameCommunity on the deterministic
+    mod-7 partition) over a deterministic hash sample of the distance-2
+    candidate pairs (bounds the NeighborsMeasure deg*deg fan-out at the
+    driver's scale; the operators take any pair table)."""
+    from networkit_spark.operators.linkprediction import (
+        extended_link_prediction_scores,
+        missing_links,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    pairs = missing_links(g, 2).filter((F.col("u") * 7 + F.col("v")) % 101 == 0)
+    part = g.vertices().select("id", (F.col("id") % 7).alias("label"))
+    out = extended_link_prediction_scores(g, pairs, part)
+    return out.select(
+        "u",
+        "v",
+        F.round("adjusted_rand", 9).alias("adjusted_rand"),
+        F.round("neighborhood_distance", 9).alias("neighborhood_distance"),
+        "total_neighbors",
+        "neighbors_measure",
+        "u_degree",
+        "v_degree",
+        "same_community",
+    )
+
+
+def q_link_pred_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KatzIndex (walk-count damping sum, smaller-degree start endpoint,
+    KatzIndex.cpp:34-87) over the distance-2 candidate pairs, L=3."""
+    from networkit_spark.operators.linkprediction import (
+        katz_index_scores,
+        missing_links,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    pairs = missing_links(g, 2).filter((F.col("u") * 7 + F.col("v")) % 101 == 0)
+    out = katz_index_scores(g, pairs, max_path_length=3, damping=0.1)
+    return out.select("u", "v", F.round("score", 9).alias("score"))
+
+
+def q_adi_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AlgebraicDistanceIndex (RAW loads — no per-system normalization —
+    p-norm over systems, AlgebraicDistanceIndex.cpp:24-74) over the
+    distance-2 candidate pairs."""
+    from networkit_spark.operators.linkprediction import (
+        algebraic_distance_index_scores,
+        missing_links,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    pairs = missing_links(g, 2).filter((F.col("u") * 7 + F.col("v")) % 101 == 0)
+    out = algebraic_distance_index_scores(
+        g, pairs, num_systems=3, num_iters=4, omega=0.5, norm=2, seed=1
+    )
+    return out.select("u", "v", F.round("score", 9).alias("score"))
+
+
+QUERIES.update({
+    "link_pred_extended": q_link_pred_extended,
+    "link_pred_katz": q_link_pred_katz,
+    "adi_pair_scores": q_adi_pair_scores,
+})
+
+
+def q_suitor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuitorMatcher (SuitorMatcher.cpp:55-146) on deterministic edge
+    weights w = (31u + 17v) mod 10 + 1. The result is THE unique greedy
+    matching over (w desc, pair asc) — the side-channel oracle verifies
+    the local-dominance certificate (matching + every non-matched edge
+    dominated by an adjacent heavier matched edge ⟺ greedy) and emits
+    the same rows, so the check is exact, not just property-level."""
+    import os
+
+    from networkit_spark.operators.matching import suitor_matching
+
+    g = _undirected_graph(spark, sf_dir)
+    und = g.simple_undirected_edges()
+    wund = und.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        ((F.col("u") * 31 + F.col("v") * 17) % 10 + 1).cast("double").alias("weight"),
+    )
+    wg = Graph.from_edges(wund, directed=False, weighted=True)
+    m = suitor_matching(wg)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = side_channel_path("suitor_matching", tag)
+    m.select("u", "v", "weight").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select("u", "v", "weight")
+
+
+QUERIES.update({"suitor_matching": q_suitor_matching})
