@@ -165,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "local_similarity_scores": o.local_similarity_sql(),
         "multiscale_scores": o.multiscale_sql(),
         "chance_triangle_scores": o.chance_triangle_sql(),
+        "simmelian_overlap": o.simmelian_overlap_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

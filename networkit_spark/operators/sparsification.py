@@ -240,3 +240,113 @@ def chance_corrected_triangle_scores(graph: Graph) -> DataFrame:
         .when((F.col("deg_u") == 1) | (F.col("deg_v") == 1), 1.0)
         .otherwise(0.0).alias("score"),
     )
+
+
+def ranked_neighborhood(graph: Graph) -> DataFrame:
+    """(ego, alter, rank) — every neighbor of every vertex ranked by the
+    per-edge triangle count DESCENDING; ties share the competition rank
+    and rank 0 is best. Reference: SimmelianScore::getRankedNeighborhood
+    (SimmelianScore.cpp:17-46) — its `currentRank += equals` bookkeeping
+    over the sorted alters is exactly SQL RANK()-1, and the tie ORDER
+    never affects the rank, so the window needs no tie-break column.
+
+    Scale: the window partitions by ego — per-vertex state only, no
+    global ordering anywhere.
+    """
+    tri = triangle_edge_scores(graph)
+    both = tri.select(
+        F.col("u").alias("ego"), F.col("v").alias("alter"), "triangles"
+    ).unionByName(
+        tri.select(F.col("v").alias("ego"), F.col("u").alias("alter"), "triangles")
+    )
+    w = Window.partitionBy("ego").orderBy(F.col("triangles").desc())
+    return both.select("ego", "alter", (F.rank().over(w) - 1).alias("rank"))
+
+
+def simmelian_overlap_scores(graph: Graph, max_rank: int = 10) -> DataFrame:
+    """(u, v, score) — SimmelianOverlapScore.cpp:19-32: the edge score is
+    the OVERLAP of the two endpoints' rank-bounded neighborhoods, i.e.
+    |{x : x ∈ N(u)\\{v}, x ∈ N(v)\\{u}, rank_u(x) ≤ maxRank,
+         rank_v(x) ≤ maxRank}|
+    (getOverlap's matchNeighbors erase/insert bookkeeping reduces to this
+    set intersection; locked by the testOverlapCounting fixture in
+    SimmelianBackboneGTest.cpp:18-59, replicated in pytest).
+
+    Scale: the rank filter bounds each endpoint's candidate list BEFORE
+    the join, so per edge the expansion is the (tie-inflated) top-maxRank
+    list, not the full neighborhood; two hash joins, no all-pairs.
+    """
+    rk = ranked_neighborhood(graph).filter(F.col("rank") <= max_rank)
+    e = graph.simple_undirected_edges().select("u", "v")
+    a = rk.select(F.col("ego").alias("u"), F.col("alter").alias("x"))
+    b = rk.select(F.col("ego").alias("v"), F.col("alter").alias("x"))
+    ov = (
+        e.join(a, "u")
+        .filter(F.col("x") != F.col("v"))  # other == alter → skipped
+        .join(b, ["v", "x"])  # x == u impossible: no self-loops in rk
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return e.join(ov, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("c", F.lit(0)).cast("double").alias("score")
+    )
+
+
+def simmelian_jaccard_scores(graph: Graph, max_rank: int | None = None) -> DataFrame:
+    """(u, v, score) — SimmelianScore's max-Jaccard redundancy
+    (SimmelianScore.cpp:48-76): over rank thresholds r = 0..maxRank,
+    jaccard(r) = |{x : max(rank_u(x), rank_v(x)) ≤ r}|
+               / |{x : min-side rank ≤ r over N(u)∪N(v), x ∉ {u,v}}|
+    and the score is max_r jaccard(r) (testOverlapCounting asserts
+    max(1/3, 2/5) = 2/5 at maxRank 3). max_rank=None = unbounded (the
+    non-parametric Simmelian backbone).
+
+    Scale shape: instead of evaluating every threshold against every
+    candidate (quadratic per edge), each candidate emits a union event
+    at its min-rank and an intersection event at its max-rank; two
+    running sums over a per-edge window give inter(r)/union(r) at every
+    threshold in one pass — O(deg_u + deg_v) rows per edge.
+    """
+    rk = ranked_neighborhood(graph)
+    if max_rank is not None:
+        rk = rk.filter(F.col("rank") <= max_rank)
+    e = graph.simple_undirected_edges().select("u", "v")
+    a = (
+        e.join(rk.select(F.col("ego").alias("u"), F.col("alter").alias("x"),
+                         F.col("rank").alias("ru")), "u")
+        .filter(F.col("x") != F.col("v"))
+    )
+    b = (
+        e.join(rk.select(F.col("ego").alias("v"), F.col("alter").alias("x"),
+                         F.col("rank").alias("rv")), "v")
+        .filter(F.col("x") != F.col("u"))
+    )
+    pairs = a.join(b, ["u", "v", "x"], "full_outer").select(
+        "u", "v",
+        F.least("ru", "rv").alias("mn"),  # least() skips NULLs
+        F.when(F.col("ru").isNotNull() & F.col("rv").isNotNull(),
+               F.greatest("ru", "rv")).alias("mx"),
+    )
+    events = pairs.select("u", "v", F.col("mn").alias("val"),
+                          F.lit(0).alias("di")).unionByName(
+        pairs.filter(F.col("mx").isNotNull())
+        .select("u", "v", F.col("mx").alias("val"), F.lit(1).alias("di"))
+    )
+    w = (
+        Window.partitionBy("u", "v")
+        .orderBy("val", "di")  # union events first at equal threshold
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = events.select(
+        "u", "v", "di",
+        F.sum(1 - F.col("di")).over(w).alias("cu"),
+        F.sum("di").over(w).alias("ci"),
+    )
+    j = (
+        scored.filter(F.col("di") == 1)
+        .groupBy("u", "v")
+        .agg(F.max(F.col("ci") / F.col("cu")).alias("score"))
+    )
+    return e.join(j, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

@@ -3446,3 +3446,34 @@ checks AS (
 SELECT u, v, w AS weight FROM mw
 WHERE (SELECT edges_real AND is_matching AND dominant FROM checks)
 """
+
+
+def simmelian_overlap_sql(max_rank: int = 10) -> str:
+    """SimmelianOverlapScore.cpp:19-32 twin: competition-ranked
+    neighborhoods (RANK()-1 over per-edge triangle counts DESC,
+    SimmelianScore.cpp:17-46), overlap = rank-bounded common-neighbor
+    intersection excluding the endpoints."""
+    return f"""
+WITH {EDGES_CTE},
+{TRI_CTE},
+{_EDGE_TRI_CTE},
+views AS (
+  SELECT u AS ego, v AS alter, t FROM etd
+  UNION ALL SELECT v, u, t FROM etd
+),
+rk AS (
+  SELECT ego, alter,
+         RANK() OVER (PARTITION BY ego ORDER BY t DESC) - 1 AS rnk
+  FROM views
+  QUALIFY rnk <= {max_rank}
+),
+ov AS (
+  SELECT e.u, e.v, COUNT(*) AS c
+  FROM und e
+  JOIN rk a ON a.ego = e.u AND a.alter <> e.v
+  JOIN rk b ON b.ego = e.v AND b.alter = a.alter
+  GROUP BY e.u, e.v
+)
+SELECT e.u, e.v, CAST(COALESCE(ov.c, 0) AS DOUBLE) AS score
+FROM und e LEFT JOIN ov ON ov.u = e.u AND ov.v = e.v
+"""

@@ -1507,10 +1507,20 @@ def q_chance_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", F.round("score", 9).alias("score"))
 
 
+def q_simmelian_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimmelianOverlapScore with the reference's default maxRank=10
+    (sparsification surface: SimmelianOverlapScore.cpp:19-32)."""
+    from networkit_spark.operators.sparsification import simmelian_overlap_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return simmelian_overlap_scores(g, max_rank=10).select("u", "v", "score")
+
+
 QUERIES.update({
     "local_similarity_scores": q_local_similarity,
     "multiscale_scores": q_multiscale,
     "chance_triangle_scores": q_chance_triangle,
+    "simmelian_overlap": q_simmelian_overlap,
 })
 
 
