@@ -166,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "multiscale_scores": o.multiscale_sql(),
         "chance_triangle_scores": o.chance_triangle_sql(),
         "simmelian_overlap": o.simmelian_overlap_sql(),
+        "forest_fire_scores": o.forest_fire_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -3477,3 +3477,80 @@ ov AS (
 SELECT e.u, e.v, CAST(COALESCE(ov.c, 0) AS DOUBLE) AS score
 FROM und e LEFT JOIN ov ON ov.u = e.u AND ov.v = e.v
 """
+
+
+def _ff_h3_sql(fire: str, node: str, cand: str, step: int, seed: int) -> str:
+    """Integer h3 of operators/forestfire._h3 (fire-keyed walk hash)."""
+    m = 1_000_000_007
+    k = step * 1315423911 + seed * 1000003
+    h1 = f"((({fire})*2654435761 + ({node})*40503 + ({cand})*97 + {k}) % {m})"
+    h2 = f"((({h1})*({h1}) + 2654435761*({h1}) + 40503) % {m})"
+    return f"((({h2})*({h2}) + 97*({h2}) + 1000003) % {m})"
+
+
+def forest_fire_sql(n_fires: int = 64, max_steps: int = 4, seed: int = 1) -> str:
+    """Exact replay of operators/forestfire.forest_fire_scores in its
+    fixed-work mode at pf = 1/2 (ForestFireScore.cpp:22-95 semantics,
+    BSP substitutes documented in the operator): per superstep each
+    frontier node draws G = floor(log2((M+1) div (h3+1))) — integer-
+    exact across engines — keeps the G hash-smallest unvisited
+    neighbors, one winner per (fire, target) by (draw, proposer)."""
+
+    def u(fire, node, cand, step):
+        return (
+            f"(CAST({_ff_h3_sql(fire, node, cand, step, seed)} + 1 AS DOUBLE)"
+            " / 1000000008.0)"
+        )
+
+    parts = [
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        """ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM v)""",
+        f"""a0 AS MATERIALIZED (
+  SELECT g.range AS fire, r.id AS node
+  FROM range({n_fires}) g
+  JOIN ranked r
+    ON r.rk = CAST(FLOOR({u('g.range', '0', '0', 0)} * (SELECT n FROM nn))
+                   AS BIGINT))""",
+        "vis0 AS (SELECT CAST(NULL AS BIGINT) AS fire,"
+        " CAST(NULL AS BIGINT) AS node WHERE FALSE)",
+    ]
+    for t in range(1, max_steps + 1):
+        gexpr = (
+            f"FLOOR(LOG2(FLOOR(1000000008.0 / "
+            f"({_ff_h3_sql('fire', 'node', 'node', t, seed)} + 1))))"
+        )
+        parts.append(f"""cand{t} AS (
+  SELECT a.fire, a.node, e.dst AS x, {u('a.fire', 'a.node', 'e.dst', t)} AS d
+  FROM a{t - 1} a JOIN sym e ON e.src = a.node
+  WHERE NOT EXISTS (SELECT 1 FROM vis{t - 1} w
+                    WHERE w.fire = a.fire AND w.node = e.dst))""")
+        parts.append(f"""prop{t} AS (
+  SELECT fire, node, x, d,
+         ROW_NUMBER() OVER (PARTITION BY fire, node ORDER BY d, x) AS rn,
+         LEAST({gexpr}, COUNT(*) OVER (PARTITION BY fire, node)) AS k
+  FROM cand{t})""")
+        parts.append(f"""win{t} AS MATERIALIZED (
+  SELECT fire, node, x, d FROM prop{t} WHERE rn <= k
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fire, x ORDER BY d, node) = 1)""")
+        parts.append(f"""vis{t} AS MATERIALIZED (
+  SELECT fire, node FROM vis{t - 1}
+  UNION ALL SELECT fire, x AS node FROM win{t})""")
+        parts.append(f"a{t} AS (SELECT fire, x AS node FROM win{t})")
+    burn_union = "\n  UNION ALL ".join(
+        f"SELECT least(node, x) AS u, greatest(node, x) AS v FROM win{t}"
+        for t in range(1, max_steps + 1)
+    )
+    parts.append(f"allburn AS ({burn_union})")
+    parts.append("cnt AS (SELECT u, v, COUNT(*) AS burnt FROM allburn GROUP BY u, v)")
+    parts.append("mx AS (SELECT MAX(burnt) AS m FROM cnt)")
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT e.u, e.v,
+       ROUND(CASE WHEN (SELECT m FROM mx) IS NULL THEN 0.0
+                  ELSE CAST(COALESCE(cnt.burnt, 0) AS DOUBLE)
+                       / (SELECT m FROM mx) END, 9) AS score
+FROM und e LEFT JOIN cnt ON cnt.u = e.u AND cnt.v = e.v
+"""

@@ -1516,11 +1516,23 @@ def q_simmelian_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simmelian_overlap_scores(g, max_rank=10).select("u", "v", "score")
 
 
+def q_forest_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ForestFireScore in fixed-work mode (64 fires, 4 generations,
+    pf = 1/2 so the geometric draw is integer-exact in both engines);
+    the while-until-burnt-ratio contract is pytest-covered."""
+    from networkit_spark.operators.forestfire import forest_fire_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return forest_fire_scores(g, pf=0.5, seed=1, n_fires=64, max_steps=4).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
 QUERIES.update({
     "local_similarity_scores": q_local_similarity,
     "multiscale_scores": q_multiscale,
     "chance_triangle_scores": q_chance_triangle,
     "simmelian_overlap": q_simmelian_overlap,
+    "forest_fire_scores": q_forest_fire,
 })
 
 
