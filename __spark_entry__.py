@@ -167,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "chance_triangle_scores": o.chance_triangle_sql(),
         "simmelian_overlap": o.simmelian_overlap_sql(),
         "forest_fire_scores": o.forest_fire_sql(),
+        "random_edge_scores": o.random_edge_sql(),
+        "random_node_edge_scores": o.random_node_edge_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

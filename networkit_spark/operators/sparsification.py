@@ -350,3 +350,80 @@ def simmelian_jaccard_scores(graph: Graph, max_rank: int | None = None) -> DataF
     return e.join(j, ["u", "v"], "left").select(
         "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def random_edge_scores(graph: Graph, seed: int = 1) -> DataFrame:
+    """(u, v, score) — RandomEdgeScore.cpp:15-24: an iid uniform (0,1]
+    draw per edge. The reference pulls from the global URNG; the engine
+    uses the shared seeded quadratic hash keyed by the canonical
+    endpoints, so the scores are a pure function of (graph, seed) and
+    the DuckDB twin is exact (same distribution, reproducible runs —
+    the reference's own test contract is only scores ∈ [0,1],
+    RandomNodeEdgeGTest.cpp:28-39)."""
+    from networkit_spark.operators.embedding import WALK_HASH_M
+    from networkit_spark.operators.randomization import _mix
+
+    h = _mix(F.col("u"), F.col("v"), F.lit(seed))
+    return graph.simple_undirected_edges().select(
+        "u", "v",
+        ((h + F.lit(1)).cast("double") / F.lit(float(WALK_HASH_M + 1)))
+        .alias("score"),
+    )
+
+
+def random_node_edge_scores(
+    graph: Graph, rne_ratio: float = 0.5, seed: int = 1
+) -> DataFrame:
+    """(u, v, score) — RandomNodeEdgeScore.cpp:17-63: edges are removed
+    one at a time, each step choosing uniformly at random (probability
+    1−rneRatio) or by random-node-then-random-incident-edge (rneRatio);
+    the score is the removal rank / m.
+
+    Distributed substitute (the sequential chain is P-complete to
+    replay): each edge races two independent exponential clocks at the
+    two strategies' pick rates on the INITIAL graph — uniform rate
+    (1−r)/m and node-edge rate r·(1/deg_u + 1/deg_v)/n⁺ (n⁺ = nodes
+    with positive degree; GraphTools.cpp:115-180 randomEdge non-uniform
+    branch) — and the removal order is the order of the min-clock
+    times. At rne_ratio = 0 this IS the reference semantics exactly (a
+    uniform random removal permutation); for r > 0 the degree drift of
+    the shrinking graph is ignored (mean-field, documented). Ranking
+    uses the two-phase global row-number plan — no single-partition
+    window."""
+    from networkit_spark.operators.embedding import WALK_HASH_M
+    from networkit_spark.operators.randomization import _mix
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    e = graph.simple_undirected_edges().select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    m = e.count()
+    npos = deg.count()
+    r = float(rne_ratio)
+    u01 = (
+        _mix(F.col("u"), F.col("v"), F.lit(seed + 1)) + F.lit(1)
+    ).cast("double") / F.lit(float(WALK_HASH_M + 1))
+    keyed = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u", "v",
+            (
+                -F.log(u01)
+                / (
+                    F.lit((1.0 - r) / m)
+                    + F.lit(r)
+                    * (F.lit(1.0) / F.col("du") + F.lit(1.0) / F.col("dv"))
+                    / F.lit(float(npos))
+                )
+            ).alias("t"),
+        )
+    )
+    ranked = global_row_numbers(keyed, "t", "rk")
+    return ranked.select(
+        "u", "v", (F.col("rk").cast("double") / F.lit(float(m))).alias("score")
+    )

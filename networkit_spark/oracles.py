@@ -3554,3 +3554,42 @@ SELECT e.u, e.v,
                        / (SELECT m FROM mx) END, 9) AS score
 FROM und e LEFT JOIN cnt ON cnt.u = e.u AND cnt.v = e.v
 """
+
+
+def random_edge_sql(seed: int = 1) -> str:
+    """RandomEdgeScore twin: the shared quadratic hash over the
+    canonical endpoints, mapped to (0,1]."""
+    m = 1_000_000_007
+    h1 = f"((u*2654435761 + v*40503 + {seed}*97) % {m})"
+    return f"""
+WITH {EDGES_CTE}
+SELECT u, v,
+       ROUND(CAST({_mix_sql(h1)} + 1 AS DOUBLE) / 1000000008.0, 9) AS score
+FROM und
+"""
+
+
+def random_node_edge_sql(rne_ratio: float = 0.5, seed: int = 1) -> str:
+    """RandomNodeEdgeScore twin — exact replay of the exponential-race
+    substitute (see operators/sparsification.random_node_edge_scores):
+    t = -ln(u01) / ((1-r)/m + r·(1/deg_u + 1/deg_v)/n⁺), score =
+    removal rank / m."""
+    m = 1_000_000_007
+    r = repr(float(rne_ratio))
+    h1 = f"((u*2654435761 + v*40503 + {seed + 1}*97) % {m})"
+    return f"""
+WITH {EDGES_CTE},
+dg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dg),
+keyed AS (
+  SELECT e.u, e.v,
+         -LN(CAST({_mix_sql(h1)} + 1 AS DOUBLE) / 1000000008.0)
+         / ((1.0 - {r}) / (SELECT m FROM mm)
+            + {r} * (1.0 / du.degree + 1.0 / dv.degree) / (SELECT n FROM np)) AS t
+  FROM und e JOIN dg du ON du.id = e.u JOIN dg dv ON dv.id = e.v
+),
+rk AS (SELECT u, v, ROW_NUMBER() OVER (ORDER BY t, u, v) - 1 AS rk FROM keyed)
+SELECT u, v, ROUND(CAST(rk AS DOUBLE) / (SELECT m FROM mm), 9) AS score FROM rk
+"""

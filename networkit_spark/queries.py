@@ -1527,12 +1527,30 @@ def q_forest_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", F.round("score", 9).alias("score"))
 
 
+def q_random_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import random_edge_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return random_edge_scores(g, seed=1).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
+def q_random_node_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import random_node_edge_scores
+
+    g = _undirected_graph(spark, sf_dir)
+    return random_node_edge_scores(g, rne_ratio=0.5, seed=1).select(
+        "u", "v", F.round("score", 9).alias("score"))
+
+
 QUERIES.update({
     "local_similarity_scores": q_local_similarity,
     "multiscale_scores": q_multiscale,
     "chance_triangle_scores": q_chance_triangle,
     "simmelian_overlap": q_simmelian_overlap,
     "forest_fire_scores": q_forest_fire,
+    "random_edge_scores": q_random_edge,
+    "random_node_edge_scores": q_random_node_edge,
 })
 
 

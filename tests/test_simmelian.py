@@ -155,3 +155,66 @@ def test_overlap_counting_values(spark):  # noqa: F811
     }
     assert s0[(4, 8)] == 0.0
     assert s1[(4, 8)] == 2.0
+
+
+def test_random_edge_scores_contract(spark):  # noqa: F811
+    # RandomNodeEdgeGTest.cpp:28-39 contract: one score per edge, in [0,1].
+    from networkit_spark.operators.sparsification import random_edge_scores
+
+    g = _graph(spark, REF_EDGES, 10)
+    res = random_edge_scores(g, seed=1).collect()
+    assert len(res) == len(REF_EDGES)
+    assert all(0.0 < r["score"] <= 1.0 for r in res)
+    # deterministic in (graph, seed); different seeds differ
+    again = random_edge_scores(g, seed=1).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+    other = random_edge_scores(g, seed=2).collect()
+    assert sorted(map(tuple, res)) != sorted(map(tuple, other))
+
+
+def test_random_node_edge_uniform_limit(spark):  # noqa: F811
+    # rne_ratio = 0 is EXACTLY the reference semantics: a uniform random
+    # removal permutation — scores must be {0, 1/m, ..., (m-1)/m}.
+    from networkit_spark.operators.sparsification import random_node_edge_scores
+
+    edges_df = erdos_renyi(spark, 30, 0.15, seed=13)
+    g = Graph.from_edges(edges_df, directed=False, vertices=spark.range(30))
+    m = g.simple_undirected_edges().count()
+    res = random_node_edge_scores(g, rne_ratio=0.0, seed=1).collect()
+    assert sorted(r["score"] for r in res) == [i / m for i in range(m)]
+
+
+def test_random_node_edge_exact_replica(spark):  # noqa: F811
+    # exact python replay of the exponential-race ranks (the same
+    # computation the DuckDB oracle runs).
+    import math
+
+    from networkit_spark.operators.sparsification import random_node_edge_scores
+
+    M = 1_000_000_007
+    A, B, C, D = 2654435761, 40503, 97, 1000003
+
+    def mix(u, v, s):
+        h1 = (u * A + v * B + s * C) % M
+        h2 = (h1 * h1 + A * h1 + B) % M
+        return (h2 * h2 + C * h2 + D) % M
+
+    edges_df = erdos_renyi(spark, 30, 0.15, seed=13)
+    g = Graph.from_edges(edges_df, directed=False, vertices=spark.range(30))
+    el = [(r["u"], r["v"])
+          for r in g.simple_undirected_edges().select("u", "v").collect()]
+    deg = {}
+    for u, v in el:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m, npos, r, seed = len(el), len(deg), 0.5, 1
+    t = {
+        (u, v): -math.log((mix(u, v, seed + 1) + 1) / (M + 1))
+        / ((1.0 - r) / m + r * (1.0 / deg[u] + 1.0 / deg[v]) / float(npos))
+        for u, v in el
+    }
+    order = sorted(el, key=lambda e: t[e])
+    want = {e: i / m for i, e in enumerate(order)}
+    got = {(x["u"], x["v"]): x["score"]
+           for x in random_node_edge_scores(g, rne_ratio=r, seed=seed).collect()}
+    assert got == want
