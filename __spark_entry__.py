@@ -169,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "forest_fire_scores": o.forest_fire_sql(),
         "random_edge_scores": o.random_edge_sql(),
         "random_node_edge_scores": o.random_node_edge_sql(),
+        "havel_hakimi_degrees": o.degree_histogram_sql(),
+        "config_model_degrees": o.config_model_degrees_sql(),
+        "esmc_degrees": o.degree_histogram_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -3593,3 +3593,29 @@ keyed AS (
 rk AS (SELECT u, v, ROW_NUMBER() OVER (ORDER BY t, u, v) - 1 AS rk FROM keyed)
 SELECT u, v, ROUND(CAST(rk AS DOUBLE) / (SELECT m FROM mm), 9) AS score FROM rk
 """
+
+
+def degree_histogram_sql() -> str:
+    """Shared property oracle for the degree-sequence generators
+    (HavelHakimi / ConfigurationModel / ESMC realize the derived graph's
+    degree sequence EXACTLY, so the generated graph's degree histogram
+    must equal the source graph's)."""
+    return f"""
+WITH {EDGES_CTE},
+dg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM dg GROUP BY degree
+"""
+
+
+def config_model_degrees_sql() -> str:
+    """Degree histogram of the hash-sparsified link graph — the exact
+    sequence q_config_model_degrees hands to configuration_model, whose
+    output realizes it exactly (stub conservation)."""
+    return f"""
+WITH {EDGES_CTE},
+sp AS (SELECT u, v FROM und WHERE (u*1000003 + v) % 97 < 24),
+dg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT u AS id FROM sp UNION ALL SELECT v AS id FROM sp) GROUP BY id)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM dg GROUP BY degree
+"""

@@ -1554,6 +1554,79 @@ QUERIES.update({
 })
 
 
+# ------------------------------------------- degree-sequence generators
+def _und_degree_df(g) -> DataFrame:
+    e = g.simple_undirected_edges()
+    return (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("deg"))
+    )
+
+
+def _degree_histogram(edges: DataFrame) -> DataFrame:
+    dg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("degree"))
+    )
+    return dg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def q_havel_hakimi_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HavelHakimiGenerator over the derived graph's degree sequence;
+    the generated graph realizes the sequence exactly, so its degree
+    histogram equals the source graph's (computed independently by the
+    oracle)."""
+    from networkit_spark.operators.degseq import havel_hakimi
+
+    g = _undirected_graph(spark, sf_dir)
+    return _degree_histogram(havel_hakimi(spark, _und_degree_df(g)))
+
+
+def q_config_model_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConfigurationModel (distributed stub pairing + conflict repair)
+    keeps degrees exact by stub conservation. The full link graph is a
+    dense quasi-random graph (avg degree ~170 at sf0.01) — the worst
+    case for pairing-collision repair — so the driver query runs on the
+    hash-sparsified subgraph ((u*1000003+v) % 97 < 24, ~25% of edges,
+    replayed verbatim in the oracle); the dense case is pytest-covered
+    at small n."""
+    from networkit_spark.operators.degseq import configuration_model
+
+    g = _undirected_graph(spark, sf_dir)
+    sp = g.simple_undirected_edges().filter(
+        (F.col("u") * 1000003 + F.col("v")) % 97 < 24
+    )
+    deg = (
+        sp.select(F.col("u").alias("id"))
+        .unionByName(sp.select(F.col("v").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("deg"))
+    )
+    return _degree_histogram(configuration_model(spark, deg, seed=1))
+
+
+def q_esmc_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeSwitchingMarkovChainGenerator: Havel-Hakimi seed + 2
+    switches/edge; every accepted swap preserves degrees and
+    simplicity."""
+    from networkit_spark.operators.degseq import edge_switching_markov_chain
+
+    g = _undirected_graph(spark, sf_dir)
+    return _degree_histogram(
+        edge_switching_markov_chain(
+            spark, _und_degree_df(g), num_switches_per_edge=2, seed=1
+        )
+    )
+
+
+QUERIES.update({
+    "havel_hakimi_degrees": q_havel_hakimi_degrees,
+    "config_model_degrees": q_config_model_degrees,
+    "esmc_degrees": q_esmc_degrees,
+})
+
+
 def _link_pred_curve(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     """Shared harness for the ROC / PR queries: 70/30 seeded holdout
     (RandomLinkSampler parity), common-neighbor scores over the training
