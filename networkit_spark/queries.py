@@ -1620,10 +1620,55 @@ def q_esmc_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_planarity_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftRightPlanarityCheck block verdicts on a constructed disjoint
+    union over the 40 smallest real vertex ids, ONE biconnected run,
+    every block verdict a graph-theoretic certainty (closed-form
+    oracle, the commute_time_cycle pattern):
+    - K4 (4 nodes): trivially planar (n<=4 fast path);
+    - K3,3 (6 nodes, 9 edges): Euler passes, the Arrow LR check must
+      REJECT it (Kuratowski);
+    - octahedron K2,2,2 (6 nodes, 12 edges = exactly 3n-6): maximal
+      planar — Euler cannot reject, LR must ACCEPT;
+    - wheel W24 (24 nodes, 46 edges): planar, LR path.
+    All blocks have BFS depth <= 4, bounding the Tarjan-Vishkin level
+    sweeps (a spanning tree of the link graph would cost ~600
+    supersteps)."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.planarity import block_planarity
+
+    g = _undirected_graph(spark, sf_dir)
+    low = sorted(
+        r["id"] for r in g.vertices().orderBy("id").limit(40).collect()
+    )
+    w, k33, octa, k4 = low[:24], low[24:30], low[30:36], low[36:40]
+    edges = (
+        [(w[i], w[(i + 1) % 23]) for i in range(23)]
+        + [(w[23], w[i]) for i in range(23)]
+        + [(k33[a], k33[b + 3]) for a in range(3) for b in range(3)]
+        + [(octa[a], octa[b]) for a in range(6) for b in range(a + 1, 6)
+           if {a, b} not in ({0, 1}, {2, 3}, {4, 5})]
+        + [(k4[a], k4[b]) for a in range(4) for b in range(a + 1, 4)]
+    )
+    gc = Graph.from_edges(
+        spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+        ),
+        directed=False,
+        vertices=spark.createDataFrame([(i,) for i in low], "id long"),
+    )
+    return (
+        block_planarity(gc)
+        .select("n_nodes", "n_edges", "is_planar")
+        .orderBy("n_nodes", "n_edges")
+    )
+
+
 QUERIES.update({
     "havel_hakimi_degrees": q_havel_hakimi_degrees,
     "config_model_degrees": q_config_model_degrees,
     "esmc_degrees": q_esmc_degrees,
+    "planarity_cases": q_planarity_cases,
 })
 
 
