@@ -9,7 +9,7 @@ its partition independently; no shuffle until the caller asks for one).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _h(seed: int, *cols) -> F.Column:
@@ -712,4 +712,209 @@ def powerlaw_degree_sequence(spark: SparkSession, n: int, gamma: float,
         raise ValueError("gamma must be negative (reference convention)")
     return spark.range(n).select(
         "id", _powerlaw_int(seed, -gamma, x_min, x_max, F.col("id")).alias("degree")
+    )
+
+
+def mocnik_points(spark: SparkSession, dim: int, n: int, seed: int = 42,
+                  max_attempts: int = 64) -> DataFrame:
+    """(id, x0..x{dim-1}) — n points uniform in the ball
+    B_{1/2}(1/2,…,1/2), the MocnikGeneratorBasic node distribution
+    (MocnikGeneratorBasic.cpp:53-65 rejection-samples the unit cube).
+    Spark shape: each slot draws `max_attempts` candidates and keeps the
+    FIRST inside the ball — a closed-form rejection as one column
+    expression (at dim ≤ 4 the per-slot miss probability over 64
+    attempts is < 1e-18; the residual miss falls back to the ball
+    center, never observed in practice)."""
+    ids = spark.range(n).select(F.col("id"))
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(max_attempts - 1)),
+        lambda t: F.struct(
+            *[
+                (_h(seed + 7 * j, F.col("id"), t) % 1_000_000_000_000
+                 / F.lit(1.0e12)).alias(f"x{j}")
+                for j in range(dim)
+            ]
+        ),
+    )
+    inball = F.filter(
+        cand,
+        lambda s: sum(
+            ((s[f"x{j}"] - 0.5) * (s[f"x{j}"] - 0.5) for j in range(dim)),
+            F.lit(0.0),
+        )
+        < F.lit(0.25),
+    )
+    first = F.coalesce(
+        F.element_at(inball, 1),
+        F.struct(*[F.lit(0.5).alias(f"x{j}") for j in range(dim)]),
+    )
+    return ids.select(
+        "id", *[first[f"x{j}"].alias(f"x{j}") for j in range(dim)]
+    )
+
+
+def mocnik(spark: SparkSession, dim: int, n: int, k: float,
+           seed: int = 42) -> DataFrame:
+    """(src, dst, weight) DIRECTED — MocnikGeneratorBasic.cpp:67-90:
+    edge (i, j) iff dist(i, j) ≤ k · min_{j'} dist(i, j'). The distance
+    structure is the reference's own all-pairs quadratic, expressed as
+    one self-join plus a per-source min window (squared distances — no
+    sqrt needed since k scales both sides); a test-fixture generator,
+    same O(n²) contract as the reference."""
+    if k <= 1:
+        raise ValueError("k must be > 1")
+    pts = mocnik_points(spark, dim, n, seed)
+    a = pts.select(F.col("id").alias("src"),
+                   *[F.col(f"x{j}").alias(f"a{j}") for j in range(dim)])
+    b = pts.select(F.col("id").alias("dst"),
+                   *[F.col(f"x{j}").alias(f"b{j}") for j in range(dim)])
+    sq = sum(
+        ((F.col(f"a{j}") - F.col(f"b{j}")) * (F.col(f"a{j}") - F.col(f"b{j}"))
+         for j in range(dim)),
+        F.lit(0.0),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", sq.alias("d2"))
+    )
+    w = Window.partitionBy("src")
+    return (
+        pairs.withColumn("dmin2", F.min("d2").over(w))
+        .filter(F.col("d2") <= F.lit(float(k * k)) * F.col("dmin2"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def pubweb_points(spark: SparkSession, n: int, num_dense_areas: int,
+                  seed: int = 42) -> DataFrame:
+    """(id, x, y) — the PubWebGenerator node distribution
+    (PubWebGenerator.cpp:103-142): per dense area an anti-quadratic
+    radius rad = 0.2·f²/25 with f = u·5 + 1, cluster sizes ∝ rad^1.5
+    scaled so the areas hold n·areas/(areas+2) nodes, polar placement
+    inside each area, the rest uniform; all coordinates wrap into the
+    unit torus. Area bookkeeping (≤ dozens of rows) runs on the driver;
+    node placement is pure column expressions."""
+    import math as _math
+
+    rng_scale = 1_000_000_000_000
+
+    def _du(key: int, *vals) -> float:
+        # driver-side tiny draws use python's seeded generator — area
+        # count is O(10); node-level draws stay distributed
+        import random as _random
+
+        return _random.Random(f"{seed}:{key}:{vals}").random()
+
+    radii = [
+        0.2 * f * f / 25.0
+        for f in (_du(1, a) * 5.0 + 1.0 for a in range(num_dense_areas))
+    ]
+    scale = (n * (num_dense_areas / (num_dense_areas + 2.0))) / sum(
+        r ** 1.5 for r in radii
+    )
+    num_per_area = [int(round(scale * r ** 1.5)) for r in radii]
+    centers = [(_du(2, a), _du(3, a)) for a in range(num_dense_areas)]
+
+    parts = []
+    start = 0
+    for area, cnt in enumerate(num_per_area):
+        if cnt == 0:
+            continue
+        cx, cy = centers[area]
+        rad = radii[area]
+        angle = (
+            _h(seed + 11, F.col("id"), F.lit(0)) % rng_scale / F.lit(1.0e12)
+        ) * (2.0 * _math.pi)
+        dist = (
+            _h(seed + 13, F.col("id"), F.lit(0)) % rng_scale / F.lit(1.0e12)
+        ) * rad
+        parts.append(
+            spark.range(start, start + cnt).select(
+                "id",
+                F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0)).alias("x"),
+                F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0)).alias("y"),
+            )
+        )
+        start += cnt
+    if start < n:
+        parts.append(
+            spark.range(start, n).select(
+                "id",
+                (_h(seed + 17, F.col("id"), F.lit(0)) % rng_scale
+                 / F.lit(1.0e12)).alias("x"),
+                (_h(seed + 19, F.col("id"), F.lit(0)) % rng_scale
+                 / F.lit(1.0e12)).alias("y"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pubweb(spark: SparkSession, n: int, num_dense_areas: int = 10,
+           neighborhood_radius: float = 0.1, max_neighbors: int = 4,
+           seed: int = 42) -> DataFrame:
+    """(src, dst, weight) canonical undirected — PubWebGenerator
+    determineNeighbors (PubWebGenerator.cpp:47-85): each node ranks its
+    in-torus-radius neighbors by squared distance and keeps the
+    `max_neighbors` closest; an edge materializes iff BOTH endpoints
+    keep it (the reference's eligible-then-insert bookkeeping is exactly
+    mutual selection, order-independent); weight = 0.01 / sqdist.
+
+    Scale shape: candidate pairs come from a torus cell grid (cell width
+    ≥ radius, 9-cell neighborhood join) — no all-pairs; per-node ranking
+    is a partitioned window."""
+    pts = pubweb_points(spark, n, num_dense_areas, seed)
+    ncell = max(1, int(1.0 / neighborhood_radius))
+    cw = 1.0 / ncell
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / cw).cast("long").alias("cx"),
+        F.floor(F.col("y") / cw).cast("long").alias("cy"),
+    )
+    # left side exploded into its 9-cell torus neighborhood
+    probe = cells.select(
+        F.col("id").alias("u"), F.col("x").alias("ux"), F.col("y").alias("uy"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("cx") + dx, F.lit(ncell)).alias("cx"),
+                    F.pmod(F.col("cy") + dy, F.lit(ncell)).alias("cy"),
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("u", "ux", "uy", F.col("cell.cx").alias("cx"),
+             F.col("cell.cy").alias("cy")).dropDuplicates(["u", "cx", "cy"])
+    cand = probe.join(
+        cells.select(F.col("id").alias("v"), F.col("x").alias("vx"),
+                     F.col("y").alias("vy"), "cx", "cy"),
+        ["cx", "cy"],
+    ).filter(F.col("u") != F.col("v"))
+
+    def torus_d(a, b):
+        raw = F.abs(a - b)
+        return F.least(raw, 1.0 - raw)
+
+    dxs = torus_d(F.col("ux"), F.col("vx"))
+    dys = torus_d(F.col("uy"), F.col("vy"))
+    sq = (dxs * dxs + dys * dys).alias("d2")
+    inr = cand.select("u", "v", sq).filter(
+        F.col("d2") <= F.lit(float(neighborhood_radius) ** 2)
+    )
+    wv = Window.partitionBy("u").orderBy(
+        "d2", F.least("u", "v"), F.greatest("u", "v")
+    )
+    top = inr.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") <= max_neighbors
+    )
+    return (
+        top.select(F.least("u", "v").alias("src"),
+                   F.greatest("u", "v").alias("dst"), "d2")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"), F.min("d2").alias("d2"))
+        .filter(F.col("c") == 2)  # mutual selection
+        .select("src", "dst", (F.lit(0.01) / F.col("d2")).alias("weight"))
     )
