@@ -918,3 +918,122 @@ def pubweb(spark: SparkSession, n: int, num_dense_areas: int = 10,
         .filter(F.col("c") == 2)  # mutual selection
         .select("src", "dst", (F.lit(0.01) / F.col("d2")).alias("weight"))
     )
+
+
+# ------------------------------------------------------ dynamic (events)
+# Reference cpp/generators/Dynamic*.cpp emit std::vector<GraphEvent>
+# streams. The engine's event form is a DataFrame
+# (step, seq, type, u, v, weight) with type in NODE_ADDITION /
+# EDGE_ADDITION / TIME_STEP (GraphEvent.hpp parity) and (step, seq) the
+# stream order — directly consumable by streaming/edge_stream.py.
+
+
+def growth_events(edges: DataFrame, initial_nodes: int) -> DataFrame:
+    """GraphEvent stream for any ATTACHMENT-style generator whose edge
+    table satisfies creator = greatest(src, dst) (every new node
+    connects only to older nodes — BarabasiAlbert, DorogovtsevMendes,
+    DynamicPath; reference Dynamic*Generator.cpp streams). Step 1 emits
+    the `initial_nodes` seed block and its induced edges; creator c then
+    lands at step c − initial_nodes + 2 with its NODE_ADDITION first,
+    its edges next (ordered by the older endpoint), and one TIME_STEP
+    row (seq = 1<<20) closes every step."""
+    spark = edges.sparkSession
+    canon = edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.col("weight"),
+    )
+    first = F.lit(1).cast("long")
+    init_nodes = spark.range(initial_nodes).select(
+        first.alias("step"), F.col("id").alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"), F.col("id").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("weight"),
+    )
+    # bounded-window: the seed block is O(1) rows (3 for DM, n0 for BA)
+    w_init = Window.partitionBy(F.lit(1)).orderBy("a", "b")
+    init_edges = (
+        canon.filter(F.col("b") < initial_nodes)
+        .select(
+            first.alias("step"),
+            (F.lit(initial_nodes) + F.row_number().over(w_init) - 1).alias("seq"),
+            F.lit("EDGE_ADDITION").alias("type"),
+            F.col("a").alias("u"), F.col("b").alias("v"), "weight",
+        )
+    )
+    grow = canon.filter(F.col("b") >= initial_nodes)
+    gstep = (F.col("b") - initial_nodes + 2).alias("step")
+    grow_nodes = (
+        grow.select("b").distinct()
+        .select(gstep, F.lit(0).cast("long").alias("seq"),
+                F.lit("NODE_ADDITION").alias("type"), F.col("b").alias("u"),
+                F.lit(None).cast("long").alias("v"),
+                F.lit(None).cast("double").alias("weight"))
+    )
+    w_grow = Window.partitionBy("b").orderBy("a")
+    grow_edges = grow.select(
+        gstep, F.row_number().over(w_grow).cast("long").alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("b").alias("u"), F.col("a").alias("v"), "weight",
+    )
+    all_steps = (
+        init_nodes.select("step").unionByName(grow_nodes.select("step")).distinct()
+    )
+    ticks = all_steps.select(
+        "step", F.lit(1 << 20).cast("long").alias("seq"),
+        F.lit("TIME_STEP").alias("type"),
+        F.lit(None).cast("long").alias("u"), F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("weight"),
+    )
+    return (
+        init_nodes.unionByName(init_edges).unionByName(grow_nodes)
+        .unionByName(grow_edges).unionByName(ticks)
+    )
+
+
+def dynamic_path_events(spark: SparkSession, n_steps: int) -> DataFrame:
+    """DynamicPathGenerator.cpp:12-29: one new node and one edge to its
+    predecessor per step."""
+    edges = spark.range(n_steps).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return growth_events(edges, initial_nodes=1)
+
+
+def dynamic_dorogovtsev_mendes_events(spark: SparkSession, n_steps: int,
+                                      seed: int = 42) -> DataFrame:
+    """DynamicDorogovtsevMendesGenerator.cpp:14-45: step 1 emits the
+    seed triangle, every later step one new node with edges to both
+    endpoints of a (hash-)chosen existing edge — the engine's static
+    closed-form DM growth replayed as events (nodes = n_steps + 2,
+    edges = 2·n_steps + 1, matching the reference's step count)."""
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    return growth_events(
+        dorogovtsev_mendes(spark, n_steps + 2, seed=seed), initial_nodes=3
+    )
+
+
+def dynamic_barabasi_albert_events(spark: SparkSession, k: int, n_max: int,
+                                   n0: int = 0, seed: int = 42) -> DataFrame:
+    """DynamicBarabasiAlbertGenerator-class stream: the engine's
+    distributed Batagelj–Brandes BA edge table replayed as attachment
+    events (each new node's ≤ k edges land in its step)."""
+    init = n0 if n0 > 0 else k
+    return growth_events(
+        barabasi_albert(spark, k, n_max, n0=n0, seed=seed), initial_nodes=init
+    )
+
+
+def graph_from_events(events: DataFrame, up_to_step: int | None = None) -> DataFrame:
+    """(src, dst, weight) — apply a GraphEvent stream's additions up to
+    and including `up_to_step` (None = all): the replay half of the
+    reference's DynamicGraphSource contract."""
+    ev = events
+    if up_to_step is not None:
+        ev = ev.filter(F.col("step") <= up_to_step)
+    return ev.filter(F.col("type") == "EDGE_ADDITION").select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"),
+        "weight",
+    )
