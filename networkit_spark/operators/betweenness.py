@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
@@ -309,4 +309,118 @@ def adaptive_betweenness(
     )
     return AdaptiveBetweennessResult(
         scores=scores, n_samples=used, rounds=rounds, history=history
+    )
+
+
+def approx_betweenness_rk(
+    graph: Graph,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    universal_constant: float = 1.0,
+    vd: int | None = None,
+    r: int | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, score) — ApproxBetweenness, the Riondato–Kornaropoulos
+    VC-dimension path sampler (cpp/centrality/ApproxBetweenness.cpp:
+    29-100): r = ceil((c/ε²)(⌊log2(vd−2)⌋ + 1 − ln δ)) samples; each
+    sample draws a random ordered pair (s, t), computes shortest-path
+    counts from s, walks back from t choosing each predecessor z with
+    probability σ_sz/σ_st, and adds 1/r to every INTERIOR node of the
+    sampled path. vd ≤ 2 returns all-zero scores (reference parity).
+
+    Distributed shape: samples are ROWS — sources dedupe into ONE
+    batched σ-BFS (the engine's Brandes forward pass), and the backward
+    walk advances ALL samples one hop per superstep (preds = one join
+    against the σ table, the weighted choice = a per-sample running-sum
+    window over an exact hash draw, SQL-replayable). The reference's
+    ESTIMATED_PEDANTIC diameter feeds vd; callers that need a
+    closed-form oracle pin vd (and therefore r) explicitly."""
+    import math
+
+    from networkit_spark.operators.embedding import _u
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.edges.sparkSession
+    n = graph.num_vertices()
+    if vd is None:
+        from networkit_spark.operators.distances import diameter_double_sweep
+
+        vd = diameter_double_sweep(graph)
+    if vd <= 2:
+        return graph.vertices().select("id", F.lit(0.0).alias("score"))
+    if r is None:
+        r = int(
+            math.ceil(
+                (universal_constant / (epsilon * epsilon))
+                * (math.floor(math.log2(vd - 2)) + 1 - math.log(delta))
+            )
+        )
+    ranked = global_row_numbers(graph.vertices(), "id", "rk")
+    # ordered pair (s, t), t ≠ s via the skip trick: q < n−1 ranks, shift
+    # past s's rank — exact distinct-pair draw, replayable in SQL
+    su = F.floor(_u(F.col("i"), 0, F.lit(0), seed) * n).cast("long")
+    qu = F.floor(_u(F.col("i"), 1, F.lit(0), seed) * (n - 1)).cast("long")
+    samples = (
+        spark.range(r).select(F.col("id").alias("i"))
+        .withColumn("srk", su)
+        .withColumn("trk", F.when(qu >= F.col("srk"), qu + 1).otherwise(qu))
+        .join(ranked.select(F.col("id").alias("s"), F.col("rk").alias("srk")), "srk")
+        .join(ranked.select(F.col("id").alias("t"), F.col("rk").alias("trk")), "trk")
+        .select("i", "s", "t")
+    )
+    samples = truncate(samples)
+    sp, sym = _forward_sssp(graph, samples.select("s"))
+    sp = truncate(sp)
+
+    # reachable targets start the backward walk at their (s,t) distance
+    cur = truncate(
+        samples.join(
+            sp.select("s", F.col("id").alias("t"), "dist"), ["s", "t"]
+        ).select("i", "s", F.col("t").alias("node"), "dist")
+    )
+    picks = []
+    step = 0
+    while True:
+        active = cur.filter(F.col("dist") > 0)
+        if active.limit(1).count() == 0:
+            break
+        step += 1
+        preds = (
+            active.join(sym, active.node == sym.dst)
+            .select("i", "s", F.col("src").alias("p"), (F.col("dist") - 1).alias("pd"))
+            .join(
+                sp.select("s", F.col("id").alias("p"), F.col("dist").alias("pd"),
+                          "sigma"),
+                ["s", "p", "pd"],
+            )
+        )
+        wtot = Window.partitionBy("i")
+        wcum = wtot.orderBy("p").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+        udraw = _u(F.col("i"), 100 + step, F.lit(0), seed)
+        chosen = (
+            preds.withColumn("cum", F.sum("sigma").over(wcum))
+            .withColumn("tot", F.sum("sigma").over(wtot))
+            .filter(F.col("cum") >= udraw * F.col("tot"))
+            .withColumn("rn", F.row_number().over(wtot.orderBy("p")))
+            .filter(F.col("rn") == 1)
+            .select("i", "s", F.col("p").alias("node"), F.col("pd").alias("dist"))
+        )
+        chosen = truncate(chosen, release=cur)
+        cur = chosen
+        picks.append(chosen.filter(F.col("node") != F.col("s")).select("node"))
+    if picks:
+        allp = picks[0]
+        for p in picks[1:]:
+            allp = allp.unionByName(p)
+        scored = allp.groupBy(F.col("node").alias("id")).agg(
+            (F.count("*") / F.lit(float(r))).alias("score")
+        )
+    else:
+        scored = spark.createDataFrame([], "id long, score double")
+    return (
+        graph.vertices()
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     )

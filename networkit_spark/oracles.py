@@ -3631,3 +3631,84 @@ UNION ALL SELECT 6, 9, FALSE
 UNION ALL SELECT 6, 12, TRUE
 UNION ALL SELECT 24, 46, TRUE
 """
+
+
+def approx_betweenness_rk_sql(r: int = 48, seed: int = 1,
+                              max_levels: int = 8) -> str:
+    """Exact replay of operators/betweenness.approx_betweenness_rk at a
+    PINNED sample count (the driver query pins vd, hence r, so the
+    formula never touches the oracle): hash-drawn ordered pairs, batched
+    sigma-BFS unrolled to max_levels, backward walk with the running-sum
+    weighted choice (sigma sums are integer-valued doubles — exact in
+    both engines)."""
+    parts = [
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        """ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM v)""",
+        f"""smp0 AS (
+  SELECT g.range AS i,
+         CAST(FLOOR({_walk_u_sql('g.range', 0, '0', seed)}
+                    * (SELECT n FROM nn)) AS BIGINT) AS srk,
+         CAST(FLOOR({_walk_u_sql('g.range', 1, '0', seed)}
+                    * ((SELECT n FROM nn) - 1)) AS BIGINT) AS q
+  FROM range({r}) g)""",
+        """smp AS MATERIALIZED (
+  SELECT s0.i, rs.id AS s, rt.id AS t
+  FROM (SELECT i, srk, CASE WHEN q >= srk THEN q + 1 ELSE q END AS trk
+        FROM smp0) s0
+  JOIN ranked rs ON rs.rk = s0.srk
+  JOIN ranked rt ON rt.rk = s0.trk)""",
+        "b0 AS (SELECT DISTINCT s, s AS id, CAST(0 AS BIGINT) AS dist,"
+        " 1.0 AS sigma FROM smp)",
+        "vis0 AS (SELECT * FROM b0)",
+    ]
+    for L in range(1, max_levels + 1):
+        parts.append(f"""b{L} AS MATERIALIZED (
+  SELECT f.s, e.dst AS id, CAST({L} AS BIGINT) AS dist,
+         SUM(f.sigma) AS sigma
+  FROM b{L - 1} f JOIN sym e ON e.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM vis{L - 1} w
+                    WHERE w.s = f.s AND w.id = e.dst)
+  GROUP BY f.s, e.dst)""")
+        parts.append(
+            f"vis{L} AS MATERIALIZED (SELECT * FROM vis{L - 1}"
+            f" UNION ALL SELECT * FROM b{L})"
+        )
+    parts.append(f"""cur0 AS (
+  SELECT smp.i, smp.s, smp.t AS node, sp.dist
+  FROM smp JOIN vis{max_levels} sp ON sp.s = smp.s AND sp.id = smp.t)""")
+    for k in range(1, max_levels + 1):
+        ud = _walk_u_sql("i", 100 + k, "0", seed)
+        parts.append(f"""pred{k} AS (
+  SELECT c.i, c.s, e.src AS p, c.dist - 1 AS pd, sp.sigma
+  FROM cur{k - 1} c
+  JOIN sym e ON e.dst = c.node
+  JOIN vis{max_levels} sp
+    ON sp.s = c.s AND sp.id = e.src AND sp.dist = c.dist - 1
+  WHERE c.dist > 0)""")
+        parts.append(f"""chose{k} AS MATERIALIZED (
+  SELECT i, s, p AS node, pd AS dist FROM (
+    SELECT i, s, p, pd,
+           SUM(sigma) OVER (PARTITION BY i ORDER BY p) AS cum,
+           SUM(sigma) OVER (PARTITION BY i) AS tot,
+           {ud} AS ud
+    FROM pred{k})
+  WHERE cum >= ud * tot
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY i ORDER BY p) = 1)""")
+        parts.append(f"cur{k} AS (SELECT * FROM chose{k})")
+    pick_union = "\n  UNION ALL ".join(
+        f"SELECT node FROM chose{k} WHERE node <> s"
+        for k in range(1, max_levels + 1)
+    )
+    parts.append(f"picks AS ({pick_union})")
+    parts.append(
+        f"sc AS (SELECT node AS id, COUNT(*) / {float(r)} AS score"
+        " FROM picks GROUP BY node)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+SELECT v.id, ROUND(COALESCE(sc.score, 0.0), 9) AS score
+FROM v LEFT JOIN sc ON sc.id = v.id
+"""

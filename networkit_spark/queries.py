@@ -1664,11 +1664,24 @@ def q_planarity_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_betweenness_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproxBetweenness (Riondato-Kornaropoulos path sampling) at a
+    PINNED (vd=4, r=48) so the oracle replays the identical sample set
+    (the reference's ESTIMATED_PEDANTIC vd feed is pytest-covered via
+    the formula test)."""
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+
+    g = _undirected_graph(spark, sf_dir)
+    return approx_betweenness_rk(g, vd=4, r=48, seed=1).select(
+        "id", F.round("score", 9).alias("score"))
+
+
 QUERIES.update({
     "havel_hakimi_degrees": q_havel_hakimi_degrees,
     "config_model_degrees": q_config_model_degrees,
     "esmc_degrees": q_esmc_degrees,
     "planarity_cases": q_planarity_cases,
+    "approx_betweenness_rk": q_approx_betweenness_rk,
 })
 
 
