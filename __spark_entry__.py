@@ -174,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "esmc_degrees": o.degree_histogram_sql(),
         "planarity_cases": o.planarity_cases_sql(),
         "approx_betweenness_rk": o.approx_betweenness_rk_sql(),
+        "scd_ground_truth_mod": o.scd_ground_truth_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

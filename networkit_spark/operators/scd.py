@@ -236,3 +236,66 @@ def page_rank_nibble(
     return NibbleResult(
         community=truncate(community), conductance=best_cond, support=support
     )
+
+
+def scd_ground_truth_comparison(
+    graph: Graph,
+    ground_truth: DataFrame,
+    found: DataFrame,
+    ignore_seeds: bool = False,
+) -> DataFrame:
+    """(seed, jaccard, f1, precision, recall) —
+    SCDGroundTruthComparison.cpp:11-124: for every found community the
+    BEST score over its candidate ground-truth subsets, each metric
+    maximized INDEPENDENTLY; candidates are the subsets containing the
+    seed unless ignore_seeds (then all overlapping subsets). `found` =
+    (seed, id) membership rows, `ground_truth` = (id, c) cover rows.
+    Nodes absent from the graph are dropped from found communities
+    (hasNode guard); a seed absent from the graph raises unless
+    ignore_seeds (reference :48-52). Seeds whose candidate set is empty
+    score 0 everywhere. All joins/aggregations — one overlap shuffle."""
+    v = graph.vertices()
+    if not ignore_seeds:
+        missing = (
+            found.select("seed").distinct()
+            .join(v.select(F.col("id").alias("seed")), "seed", "left_anti")
+        )
+        if missing.limit(1).count() > 0:
+            raise ValueError("the graph does not contain a seed node")
+    fnd = found.join(v, "id")
+    fs = fnd.groupBy("seed").agg(F.count("*").alias("fs"))
+    gt = ground_truth.join(v, "id")
+    ts = gt.groupBy("c").agg(F.count("*").alias("ts"))
+    ov = fnd.join(gt, "id").groupBy("seed", "c").agg(F.count("*").alias("ov"))
+    if not ignore_seeds:
+        allowed = ground_truth.select(F.col("id").alias("seed"), "c").distinct()
+        ov = ov.join(allowed, ["seed", "c"], "left_semi")
+    prec = F.col("ov") / F.col("fs")
+    rec = F.col("ov") / F.col("ts")
+    m = (
+        ov.join(fs, "seed")
+        .join(ts, "c")
+        .select(
+            "seed",
+            (F.col("ov") / (F.col("fs") + F.col("ts") - F.col("ov"))).alias("jac"),
+            prec.alias("prec"),
+            rec.alias("rec"),
+            F.when((prec > 0) & (rec > 0), 2 * prec * rec / (prec + rec))
+            .otherwise(0.0).alias("f1"),
+        )
+    )
+    best = m.groupBy("seed").agg(
+        F.max("jac").alias("jaccard"), F.max("f1").alias("f1"),
+        F.max("prec").alias("precision"), F.max("rec").alias("recall"),
+    )
+    return (
+        found.select("seed").distinct()
+        .join(best, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.coalesce("f1", F.lit(0.0)).alias("f1"),
+            F.coalesce("precision", F.lit(0.0)).alias("precision"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )

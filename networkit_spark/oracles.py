@@ -3712,3 +3712,46 @@ WITH {EDGES_CTE},
 SELECT v.id, ROUND(COALESCE(sc.score, 0.0), 9) AS score
 FROM v LEFT JOIN sc ON sc.id = v.id
 """
+
+
+def scd_ground_truth_sql() -> str:
+    """Exact twin of q_scd_ground_truth_mod: found community of seed s
+    (the 12 smallest vertex ids) = {u : u % 9 = s % 9}; ground truth =
+    the mod-7 (+ mod-11 overlay on id%3=0) cover; per-seed best
+    jaccard/f1/precision/recall over the subsets containing the seed."""
+    return f"""
+WITH {EDGES_CTE},
+seeds AS (SELECT id AS seed FROM v ORDER BY id LIMIT 12),
+fnd AS (SELECT s.seed, u.id FROM seeds s JOIN v u ON u.id % 9 = s.seed % 9),
+gt AS (
+  SELECT id, id % 7 AS c FROM v
+  UNION ALL SELECT id, 7 + id % 11 AS c FROM v WHERE id % 3 = 0
+),
+fs AS (SELECT seed, COUNT(*) AS fs FROM fnd GROUP BY seed),
+ts AS (SELECT c, COUNT(*) AS ts FROM gt GROUP BY c),
+ov AS (
+  SELECT f.seed, g.c, COUNT(*) AS ov
+  FROM fnd f JOIN gt g ON g.id = f.id
+  WHERE EXISTS (SELECT 1 FROM gt a WHERE a.id = f.seed AND a.c = g.c)
+  GROUP BY f.seed, g.c
+),
+m AS (
+  SELECT ov.seed,
+         CAST(ov.ov AS DOUBLE) / (fs.fs + ts.ts - ov.ov) AS jac,
+         CAST(ov.ov AS DOUBLE) / fs.fs AS prec,
+         CAST(ov.ov AS DOUBLE) / ts.ts AS rec
+  FROM ov JOIN fs ON fs.seed = ov.seed JOIN ts ON ts.c = ov.c
+),
+best AS (
+  SELECT seed, MAX(jac) AS jaccard,
+         MAX(CASE WHEN prec > 0 AND rec > 0
+                  THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END) AS f1,
+         MAX(prec) AS prec, MAX(rec) AS rec
+  FROM m GROUP BY seed
+)
+SELECT s.seed, ROUND(COALESCE(b.jaccard, 0.0), 9) AS jaccard,
+       ROUND(COALESCE(b.f1, 0.0), 9) AS f1,
+       ROUND(COALESCE(b.prec, 0.0), 9) AS precision,
+       ROUND(COALESCE(b.rec, 0.0), 9) AS recall
+FROM seeds s LEFT JOIN best b ON b.seed = s.seed
+"""

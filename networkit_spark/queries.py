@@ -1676,12 +1676,37 @@ def q_approx_betweenness_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.round("score", 9).alias("score"))
 
 
+def q_scd_ground_truth_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCDGroundTruthComparison on deterministic fixtures: found
+    community of seed s (12 smallest ids) = its mod-9 class, ground
+    truth = the engine's mod-7/11 overlapping cover (cover_f1_mod
+    family), seed-restricted candidates."""
+    from networkit_spark.operators.scd import scd_ground_truth_comparison
+
+    g = _undirected_graph(spark, sf_dir)
+    v = g.vertices()
+    seeds = v.orderBy("id").limit(12).select(F.col("id").alias("seed"))
+    fnd = seeds.join(
+        v.select("id", (F.col("id") % 9).alias("k9")),
+        seeds["seed"] % 9 == F.col("k9"),
+    ).select("seed", "id")
+    res = scd_ground_truth_comparison(g, _mod_cover_x(g), fnd,
+                                      ignore_seeds=False)
+    return res.select(
+        "seed", F.round("jaccard", 9).alias("jaccard"),
+        F.round("f1", 9).alias("f1"),
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+    )
+
+
 QUERIES.update({
     "havel_hakimi_degrees": q_havel_hakimi_degrees,
     "config_model_degrees": q_config_model_degrees,
     "esmc_degrees": q_esmc_degrees,
     "planarity_cases": q_planarity_cases,
     "approx_betweenness_rk": q_approx_betweenness_rk,
+    "scd_ground_truth_mod": q_scd_ground_truth_mod,
 })
 
 
