@@ -175,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "planarity_cases": o.planarity_cases_sql(),
         "approx_betweenness_rk": o.approx_betweenness_rk_sql(),
         "scd_ground_truth_mod": o.scd_ground_truth_sql(),
+        "conductance_parity": o.conductance_parity_sql(),
+        "sampled_rand_mod": o.sampled_rand_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

@@ -358,3 +358,111 @@ def partition_intersection(zeta: DataFrame, eta: DataFrame) -> DataFrame:
     both = za.join(eb, "id")
     cells = both.groupBy("la", "lb").agg(F.min("id").alias("cell"))
     return both.join(cells, ["la", "lb"]).select("id", F.col("cell").alias("label"))
+
+
+def conductance(graph: Graph, labels: DataFrame) -> float:
+    """Conductance.cpp:12-43 — for a 2-partition: cut weight divided by
+    the smaller side's volume (weighted degrees)."""
+    n_subsets = labels.select("label").distinct().count()
+    if n_subsets != 2:
+        raise ValueError("conductance requires a 2-partition")
+    deg = (
+        graph.symmetrized_edges()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("wdeg"))
+    )
+    vols = (
+        labels.join(deg, "id", "left")
+        .groupBy("label")
+        .agg(F.sum(F.coalesce("wdeg", F.lit(0.0))).alias("vol"))
+    )
+    denom = vols.agg(F.min("vol")).first()[0]
+    return float(edge_cut(graph, labels)) / float(denom)
+
+
+def sampled_node_structural_rand(
+    graph: Graph, zeta: DataFrame, eta: DataFrame,
+    max_samples: int = 1000, seed: int = 1,
+) -> float:
+    """SampledNodeStructuralRandMeasure.cpp:17-52 dissimilarity
+    1 − (n11 + n00)/samples over `max_samples` random DISTINCT node
+    pairs. The reference rejection-samples ids until it has maxSamples
+    valid pairs; the engine draws exactly max_samples distinct pairs by
+    hashing ranks with the skip trick (same distribution, one pass,
+    SQL-replicable)."""
+    from networkit_spark.operators.embedding import _u
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.edges.sparkSession
+    n = graph.num_vertices()
+    ranked = global_row_numbers(graph.vertices(), "id", "rk")
+    su = F.floor(_u(F.col("i"), 0, F.lit(0), seed) * n).cast("long")
+    qu = F.floor(_u(F.col("i"), 1, F.lit(0), seed) * (n - 1)).cast("long")
+    pairs = (
+        spark.range(max_samples).select(F.col("id").alias("i"))
+        .withColumn("urk", su)
+        .withColumn("vrk", F.when(qu >= F.col("urk"), qu + 1).otherwise(qu))
+        .join(ranked.select(F.col("id").alias("u"), F.col("rk").alias("urk")), "urk")
+        .join(ranked.select(F.col("id").alias("v"), F.col("rk").alias("vrk")), "vrk")
+        .select("u", "v")
+    )
+    lab = lambda df, side, name: df.select(  # noqa: E731
+        F.col("id").alias(side), F.col("label").alias(name)
+    )
+    j = (
+        pairs.join(lab(zeta, "u", "zu"), "u").join(lab(zeta, "v", "zv"), "v")
+        .join(lab(eta, "u", "eu"), "u").join(lab(eta, "v", "ev"), "v")
+    )
+    agree = j.select(
+        F.sum(
+            F.when(
+                ((F.col("zu") == F.col("zv")) & (F.col("eu") == F.col("ev")))
+                | ((F.col("zu") != F.col("zv")) & (F.col("eu") != F.col("ev"))),
+                1,
+            ).otherwise(0)
+        ).alias("ok")
+    ).first()["ok"]
+    return 1.0 - float(agree) / float(max_samples)
+
+
+def sampled_graph_structural_rand(
+    graph: Graph, zeta: DataFrame, eta: DataFrame,
+    max_samples: int = 1000, seed: int = 1,
+) -> float:
+    """SampledGraphStructuralRandMeasure.cpp dissimilarity over
+    `max_samples` hash-sampled EDGES (connected pairs) — the
+    graph-structural restriction of the rand index."""
+    from networkit_spark.operators.embedding import _u
+    from networkit_spark.plans.ranking import global_ranks_score_desc
+
+    spark = graph.edges.sparkSession
+    und = graph.simple_undirected_edges().select("u", "v")
+    m = und.count()
+    # edges ranked on (u DESC, v) — any total order works; the desc
+    # helper takes tie columns, so no composite key is needed
+    ranked = global_ranks_score_desc(und, "u", ["v"], "erk")
+    pick = (
+        spark.range(max_samples).select(F.col("id").alias("i"))
+        .withColumn(
+            "erk", F.floor(_u(F.col("i"), 2, F.lit(0), seed) * m).cast("long")
+        )
+        .join(ranked, "erk")
+        .select("u", "v")
+    )
+    lab = lambda df, side, name: df.select(  # noqa: E731
+        F.col("id").alias(side), F.col("label").alias(name)
+    )
+    j = (
+        pick.join(lab(zeta, "u", "zu"), "u").join(lab(zeta, "v", "zv"), "v")
+        .join(lab(eta, "u", "eu"), "u").join(lab(eta, "v", "ev"), "v")
+    )
+    agree = j.select(
+        F.sum(
+            F.when(
+                ((F.col("zu") == F.col("zv")) & (F.col("eu") == F.col("ev")))
+                | ((F.col("zu") != F.col("zv")) & (F.col("eu") != F.col("ev"))),
+                1,
+            ).otherwise(0)
+        ).alias("ok")
+    ).first()["ok"]
+    return 1.0 - float(agree) / float(max_samples)

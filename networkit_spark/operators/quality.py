@@ -159,3 +159,50 @@ def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
     if ha + hb == 0:
         return 1.0  # both one-clusterings: identical
     return 2.0 * mi / (ha + hb)
+
+
+# ----------------------------------------------- ClusteringGenerator.cpp
+def make_singleton_clustering(graph: Graph) -> DataFrame:
+    """(id, label) — every node its own cluster."""
+    return graph.vertices().select("id", F.col("id").alias("label"))
+
+
+def make_one_clustering(graph: Graph) -> DataFrame:
+    """(id, label) — one cluster."""
+    return graph.vertices().select("id", F.lit(0).cast("long").alias("label"))
+
+
+def make_random_clustering(graph: Graph, k: int, seed: int = 1) -> DataFrame:
+    """(id, label) — uniform hash assignment to k clusters
+    (ClusteringGenerator.cpp:29-46; the reference warns when fewer than
+    k land non-empty, same here by construction)."""
+    return graph.vertices().select(
+        "id", (F.abs(F.xxhash64(F.lit(seed), F.col("id"))) % k).alias("label")
+    )
+
+
+def make_continuous_balanced_clustering(graph: Graph, k: int) -> DataFrame:
+    """(id, label) — contiguous id-rank blocks of size n/k (±1)
+    (ClusteringGenerator.cpp:48-75): block b holds ranks
+    [b·n/k-ish prefix) — computed from the rank, no driver loop."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    n = graph.num_vertices()
+    ranked = global_row_numbers(graph.vertices(), "id", "rk")
+    # rank r belongs to block b iff r < prefix(b+1); with block sizes
+    # n/k + (n%k > b) the prefix is b*(n//k) + min(b, n%k), inverted:
+    q, rem = divmod(n, k)
+    # ranks < rem*(q+1) are in the (q+1)-sized blocks
+    label = F.when(
+        F.col("rk") < rem * (q + 1), F.floor(F.col("rk") / (q + 1))
+    ).otherwise(rem + F.floor((F.col("rk") - rem * (q + 1)) / max(q, 1)))
+    return ranked.select("id", label.cast("long").alias("label"))
+
+
+def make_noncontinuous_balanced_clustering(graph: Graph, k: int) -> DataFrame:
+    """(id, label) — round-robin by id rank
+    (ClusteringGenerator.cpp:76-90)."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    ranked = global_row_numbers(graph.vertices(), "id", "rk")
+    return ranked.select("id", (F.col("rk") % k).alias("label"))

@@ -3755,3 +3755,63 @@ SELECT s.seed, ROUND(COALESCE(b.jaccard, 0.0), 9) AS jaccard,
        ROUND(COALESCE(b.rec, 0.0), 9) AS recall
 FROM seeds s LEFT JOIN best b ON b.seed = s.seed
 """
+
+
+def conductance_parity_sql() -> str:
+    """Conductance.cpp twin on the id-parity 2-partition: cut / min side
+    volume."""
+    return f"""
+WITH {EDGES_CTE},
+cut AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM und WHERE u % 2 <> v % 2),
+dg AS (SELECT src AS id, SUM(weight) AS wd FROM sym GROUP BY src),
+vol AS (SELECT v.id % 2 AS side, SUM(COALESCE(dg.wd, 0.0)) AS vol
+        FROM v LEFT JOIN dg ON dg.id = v.id GROUP BY v.id % 2)
+SELECT ROUND((SELECT c FROM cut) / (SELECT MIN(vol) FROM vol), 9)
+       AS conductance
+"""
+
+
+def sampled_rand_sql(max_samples: int = 500, seed: int = 1) -> str:
+    """Twin of q_sampled_rand_mod: hash-drawn node pairs (skip trick)
+    and hash-drawn edges over the (u DESC, v ASC) edge ranking; zeta =
+    id%3, eta = id%4; dissimilarity = 1 − agree/samples."""
+    return f"""
+WITH {EDGES_CTE},
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+ranked AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM v),
+prs AS (
+  SELECT g.range AS i,
+         CAST(FLOOR({_walk_u_sql('g.range', 0, '0', seed)}
+                    * (SELECT n FROM nn)) AS BIGINT) AS urk,
+         CAST(FLOOR({_walk_u_sql('g.range', 1, '0', seed)}
+                    * ((SELECT n FROM nn) - 1)) AS BIGINT) AS q
+  FROM range({max_samples}) g),
+np AS (
+  SELECT ru.id AS u, rv.id AS v
+  FROM (SELECT i, urk, CASE WHEN q >= urk THEN q + 1 ELSE q END AS vrk
+        FROM prs) p
+  JOIN ranked ru ON ru.rk = p.urk
+  JOIN ranked rv ON rv.rk = p.vrk),
+nagree AS (
+  SELECT SUM(CASE WHEN (u % 3 = v % 3) = (u % 4 = v % 4)
+                  THEN 1 ELSE 0 END) AS ok
+  FROM np),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+eranked AS (
+  SELECT u, v, ROW_NUMBER() OVER (ORDER BY u DESC, v ASC) - 1 AS erk
+  FROM und),
+ep AS (
+  SELECT e.u, e.v
+  FROM range({max_samples}) g
+  JOIN eranked e
+    ON e.erk = CAST(FLOOR({_walk_u_sql('g.range', 2, '0', seed)}
+                          * (SELECT m FROM mm)) AS BIGINT)),
+eagree AS (
+  SELECT SUM(CASE WHEN (u % 3 = v % 3) = (u % 4 = v % 4)
+                  THEN 1 ELSE 0 END) AS ok
+  FROM ep)
+SELECT ROUND(1.0 - (SELECT ok FROM nagree) / {float(max_samples)}, 9)
+         AS node_rand,
+       ROUND(1.0 - (SELECT ok FROM eagree) / {float(max_samples)}, 9)
+         AS graph_rand
+"""

@@ -1700,6 +1700,35 @@ def q_scd_ground_truth_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conductance_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of the id-parity 2-partition (Conductance.cpp)."""
+    from networkit_spark.operators.evaluation import conductance
+
+    g = _undirected_graph(spark, sf_dir)
+    labels = g.vertices().select("id", (F.col("id") % 2).alias("label"))
+    return spark.createDataFrame(
+        [(round(conductance(g, labels), 9),)], "conductance double"
+    )
+
+
+def q_sampled_rand_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled node-/graph-structural rand dissimilarities between the
+    mod-3 and mod-4 partitions, 500 hash-drawn samples each."""
+    from networkit_spark.operators.evaluation import (
+        sampled_graph_structural_rand,
+        sampled_node_structural_rand,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    zeta = g.vertices().select("id", (F.col("id") % 3).alias("label"))
+    eta = g.vertices().select("id", (F.col("id") % 4).alias("label"))
+    nr = sampled_node_structural_rand(g, zeta, eta, max_samples=500, seed=1)
+    gr = sampled_graph_structural_rand(g, zeta, eta, max_samples=500, seed=1)
+    return spark.createDataFrame(
+        [(round(nr, 9), round(gr, 9))], "node_rand double, graph_rand double"
+    )
+
+
 QUERIES.update({
     "havel_hakimi_degrees": q_havel_hakimi_degrees,
     "config_model_degrees": q_config_model_degrees,
@@ -1707,6 +1736,8 @@ QUERIES.update({
     "planarity_cases": q_planarity_cases,
     "approx_betweenness_rk": q_approx_betweenness_rk,
     "scd_ground_truth_mod": q_scd_ground_truth_mod,
+    "conductance_parity": q_conductance_parity,
+    "sampled_rand_mod": q_sampled_rand_mod,
 })
 
 
