@@ -206,3 +206,58 @@ def max_flow(
     source_set = visited_final.select("id")
     arcs_all.unpersist()
     return MaxFlowResult(value=value, flows=truncate(flows), source_set=truncate(source_set))
+
+
+def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
+    """(id, label) — CutClustering (community/CutClustering.cpp:18-78,
+    Flake–Tarjan–Tsioutsiouliklis): augment the graph with an artificial
+    sink t connected to every node at weight alpha; process nodes in
+    descending degree order, and for each still-unlabeled node u run
+    min-cut(u, t) and label u's whole source side with u (source sides
+    are nested-or-disjoint, so later cuts absorb earlier clusters
+    exactly as the reference loop does).
+
+    The per-node loop is the reference's own sequential pruned schedule
+    (each iteration depends on coverage so far) — a pytest-scale driver
+    contract like GCE/LFM, but each min-cut runs the engine's
+    DISTRIBUTED Edmonds–Karp; the cluster count, not n, bounds the
+    number of flows."""
+    spark = graph.edges.sparkSession
+    v = graph.vertices()
+    t = int(v.agg(F.max("id")).first()[0]) + 1
+    base = (
+        graph.symmetrized_edges()
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+    sink_arcs = v.select(
+        F.col("id").alias("src"), F.lit(t).alias("dst"),
+        F.lit(float(alpha)).alias("weight"),
+    )
+    aug = Graph.from_edges(
+        base.unionByName(sink_arcs),
+        directed=False,
+        weighted=True,
+        vertices=v.unionByName(spark.createDataFrame([(t,)], "id long")),
+    )
+    deg_rows = (
+        graph.symmetrized_edges()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .collect()
+    )
+    deg = {r["id"]: r["d"] for r in deg_rows}
+    order = sorted(
+        (r["id"] for r in v.collect()),
+        key=lambda u: (-deg.get(u, 0), u),
+    )
+    labels: dict = {}
+    for u in order:
+        if u in labels:
+            continue
+        res = max_flow(aug, int(u), t)
+        for row in res.source_set.collect():
+            labels[row["id"]] = u
+    return spark.createDataFrame(
+        [(int(k), int(lb)) for k, lb in labels.items()], "id long, label long"
+    )
