@@ -46,3 +46,25 @@ def test_deterministic_given_blocks(spark):
     a = {tuple(r) for r in label_propagation_async(g, num_blocks=4).labels.collect()}
     b = {tuple(r) for r in label_propagation_async(g, num_blocks=4).labels.collect()}
     assert a == b
+
+
+def test_lp_degree_ordered_planted(spark):  # noqa: F811
+    from networkit_spark.generators import planted_partition
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.labelprop_async import lp_degree_ordered
+    from networkit_spark.operators.quality import is_proper_clustering
+
+    n, k = 60, 4
+    edges = planted_partition(spark, n, k, 1.0, 0.0, seed=8)
+    g = Graph.from_edges(edges, directed=False, vertices=spark.range(n))
+    res = lp_degree_ordered(g, update_threshold=0, max_iterations=50)
+    labels = res.labels
+    assert is_proper_clustering(g, labels)
+    # planted disjoint cliques recovered exactly: one label per residue
+    rows = {r["id"]: r["label"] for r in labels.collect()}
+    for c in range(k):
+        labs = {rows[u] for u in range(n) if u % k == c}
+        assert len(labs) == 1, c
+    # distinct cliques, distinct labels
+    assert len({rows[u] for u in range(k)}) == k
+    assert res.iterations <= 50
