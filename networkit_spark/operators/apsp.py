@@ -235,3 +235,22 @@ def bidirectional_bfs(graph: Graph, source: int, target: int) -> int | None:
             pass
     out_arcs.unpersist()
     return None if best is None else int(best)
+
+
+def reverse_bfs(graph: Graph, source: int) -> DataFrame:
+    """(id, dist) — ReverseBFS.cpp: BFS over IN-edges (hop distance TO
+    the source). On undirected graphs identical to BFS; on directed
+    graphs one transpose projection feeds the same batched frontier
+    kernel."""
+    if not graph.directed:
+        return apsp(graph, [source]).select("id", "dist")
+    from networkit_spark.graph import Graph as _G
+
+    t = _G.from_edges(
+        graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        ),
+        directed=True,
+        vertices=graph.vertices(),
+    )
+    return apsp(t, [source]).select("id", "dist")

@@ -128,3 +128,22 @@ def test_bidirectional_bfs_disconnected(spark):  # noqa: F811
     g = Graph.from_edges(edges, directed=False, vertices=spark.range(4))
     assert bidirectional_bfs(g, 0, 3) is None
     assert bidirectional_bfs(g, 0, 1) == 1
+
+
+def test_reverse_bfs_directed(spark):  # noqa: F811
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.apsp import reverse_bfs
+
+    # path 0 -> 1 -> 2 -> 3: reverse BFS from 3 reaches everyone
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(e, directed=True, vertices=spark.range(4))
+    got = {r["id"]: r["dist"] for r in reverse_bfs(g, 3).collect()}
+    assert got == {3: 0, 2: 1, 1: 2, 0: 3}
+    # forward BFS from 3 reaches only itself
+    from networkit_spark.operators.apsp import apsp
+
+    fwd = {r["id"]: r["dist"] for r in apsp(g, [3]).collect()}
+    assert fwd == {3: 0}
