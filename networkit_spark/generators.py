@@ -1037,3 +1037,72 @@ def graph_from_events(events: DataFrame, up_to_step: int | None = None) -> DataF
         F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"),
         "weight",
     )
+
+
+def dynamic_forest_fire_events(
+    spark: SparkSession, n_steps: int, p: float, seed: int = 42
+) -> DataFrame:
+    """DynamicForestFireGenerator.cpp:20-138 (undirected): per step a new
+    node v picks a uniform ambassador, burns through the existing graph
+    BFS-style (per processed node a geometric(p) count of uniformly
+    chosen unvisited neighbors — the same one-draw inverse-CDF + hash
+    k-subset substitution as operators/forestfire.py), and connects to
+    EVERY burned node; one TIME_STEP closes each step.
+
+    Each step's burn depends on all previously added edges, so the
+    generator is sequential by construction (the reference's own shape);
+    it runs driver-side on the shared seeded hash draws — deterministic
+    in (n_steps, p, seed) — and returns the engine's GraphEvent
+    DataFrame (pytest-scale policy, like DFS / Havel–Hakimi). The
+    directed p·r backward-burn variant is not implemented (engine
+    dynamics operate on the undirected link graph)."""
+    import math as _math
+
+    M = 1_000_000_007
+    A, B, C, D = 2654435761, 40503, 97, 1000003
+
+    def h3(fire, node, cand, step, sd):
+        h1 = (fire * A + node * B + cand * C + step * 1315423911 + sd * D) % M
+        h2 = (h1 * h1 + A * h1 + B) % M
+        return (h2 * h2 + C * h2 + D) % M
+
+    def u01(fire, node, cand, step):
+        return (h3(fire, node, cand, step, seed) + 1) / (M + 1)
+
+    adj: dict[int, set] = {0: set()}
+    rows = [(1, 0, "NODE_ADDITION", 0, None, None),
+            (1, 1 << 20, "TIME_STEP", None, None, None)]
+    for t in range(2, n_steps + 1):
+        v = t - 1
+        nodes = sorted(adj)
+        a = nodes[_math.floor(u01(t, 0, 0, 0) * len(nodes))]
+        visited = {a}
+        queue = [a]
+        burned = [a]
+        while queue:
+            w = queue.pop(0)
+            cands = sorted(x for x in adj[w] if x not in visited)
+            if cands:
+                g = _math.floor(
+                    _math.log(u01(t, w, w, 1)) / _math.log(p)
+                ) if p != 0.5 else _math.floor(
+                    _math.log2((M + 1) // (h3(t, w, w, 1, seed) + 1))
+                )
+                k = min(g, len(cands))
+                picked = sorted(cands, key=lambda x: (u01(t, w, x, 1), x))[:k]
+                for x in picked:
+                    visited.add(x)
+                    queue.append(x)
+                    burned.append(x)
+        rows.append((t, 0, "NODE_ADDITION", v, None, None))
+        sq = 1
+        for w in burned:
+            rows.append((t, sq, "EDGE_ADDITION", v, w, 1.0))
+            sq += 1
+            adj[w].add(v)
+            adj.setdefault(v, set()).add(w)
+        adj.setdefault(v, set())
+        rows.append((t, 1 << 20, "TIME_STEP", None, None, None))
+    return spark.createDataFrame(
+        rows, "step long, seq long, type string, u long, v long, weight double"
+    )

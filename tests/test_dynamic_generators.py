@@ -92,3 +92,39 @@ def test_ba_events_replay_static(spark):  # noqa: F811
     want = {(r["src"], r["dst"])
             for r in barabasi_albert(spark, 2, 30, seed=9).collect()}
     assert got == want
+
+
+def test_forest_fire_events(spark):  # noqa: F811
+    from networkit_spark.generators import dynamic_forest_fire_events
+
+    ev = dynamic_forest_fire_events(spark, 25, p=0.5, seed=6)
+    rows = ev.collect()
+    _check_stream_invariants(rows)
+    nodes = [r for r in rows if r["type"] == "NODE_ADDITION"]
+    ticks = [r for r in rows if r["type"] == "TIME_STEP"]
+    assert len(nodes) == 25 and len(ticks) == 25
+    # every post-seed node connects to >= 1 node (the ambassador), so the
+    # replayed graph is connected
+    edges = [(r["u"], r["v"]) for r in rows if r["type"] == "EDGE_ADDITION"]
+    per_step = {}
+    for r in rows:
+        if r["type"] == "EDGE_ADDITION":
+            per_step[r["step"]] = per_step.get(r["step"], 0) + 1
+    assert all(per_step.get(s, 0) >= 1 for s in range(2, 26))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    assert len({find(x) for x in range(25)}) == 1
+    # deterministic; denser at higher p
+    again = dynamic_forest_fire_events(spark, 25, p=0.5, seed=6).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    dense = dynamic_forest_fire_events(spark, 25, p=0.7, seed=6).collect()
+    assert (sum(1 for r in dense if r["type"] == "EDGE_ADDITION")
+            > len(edges))
