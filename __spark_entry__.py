@@ -132,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_scores": o.jaccard_scores_sql(),
         "cc_labels_twophase": o.cc_converged_sql(),
         "katz_3iter": o.katz_sql(),
+        "gedwalk_levels": o.gedwalk_levels_sql(),
         "luby_mis": o.luby_sql(),
         "sfigality": o.sfigality_sql(),
         "square_clustering": o.square_clustering_sql(),

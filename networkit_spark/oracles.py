@@ -3815,3 +3815,46 @@ SELECT ROUND(1.0 - (SELECT ok FROM nagree) / {float(max_samples)}, 9)
        ROUND(1.0 - (SELECT ok FROM eagree) / {float(max_samples)}, 9)
          AS graph_rand
 """
+
+
+def gedwalk_levels_sql(levels: int = 4, alpha: float = 0.05, k: int = 3) -> str:
+    """Exact twin of queries.q_gedwalk_levels: the GedWalk hit/miss
+    recursion (GedWalk.cpp:298-345) unrolled to `levels` joins over the
+    directed link graph, group = top-k out-degree (count desc, id asc —
+    deterministic integer sort). Walk counts are integer-valued doubles
+    (weights are 1.0), so per-level sums are exact in both engines; the
+    alpha powers are Python-computed literals so both engines multiply
+    the SAME doubles (link_pred_katz_sql pattern)."""
+    parts = [
+        f"""grpdeg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+grp AS MATERIALIZED (SELECT id FROM grpdeg ORDER BY d DESC, id ASC LIMIT {k}),
+s0 AS (SELECT id AS u,
+  CASE WHEN id IN (SELECT id FROM grp)
+       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS hit,
+  CASE WHEN id IN (SELECT id FROM grp)
+       THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS miss
+  FROM v)"""
+    ]
+    for i in range(1, levels + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS u,
+    CASE WHEN e.dst IN (SELECT id FROM grp)
+         THEN SUM(CAST(e.weight AS DOUBLE) * (s.hit + s.miss))
+         ELSE SUM(CAST(e.weight AS DOUBLE) * s.hit) END AS hit,
+    CASE WHEN e.dst IN (SELECT id FROM grp)
+         THEN CAST(0.0 AS DOUBLE)
+         ELSE SUM(CAST(e.weight AS DOUBLE) * s.miss) END AS miss
+  FROM edges e JOIN s{i - 1} s ON s.u = e.src
+  GROUP BY e.dst)""")
+    chain = ",\n".join(parts)
+    sels = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS level, CAST(h AS DOUBLE) AS hits, "
+        f"ROUND(CAST({alpha**i!r} AS DOUBLE) * h, 9) AS contrib "
+        f"FROM (SELECT COALESCE(SUM(hit), 0.0) AS h FROM s{i})"
+        for i in range(1, levels + 1)
+    )
+    return f"""
+WITH {EDGES_CTE},
+{chain}
+{sels}
+"""

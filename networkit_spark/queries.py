@@ -2279,3 +2279,29 @@ def q_suitor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"suitor_matching": q_suitor_matching})
+
+
+def q_gedwalk_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GedWalk per-level group-walk table (the hit/miss recursion of
+    GedWalk.cpp:298-345) for the top-3 out-degree group at fixed
+    alpha=0.05, levels=4 — walk counts are integer-valued doubles, so
+    the unrolled-SQL twin is exact. The greedy maximizer, tail-bound
+    convergence, and gain estimates are pytest-covered
+    (tests/test_gedwalk.py)."""
+    from networkit_spark.operators.gedwalk import ged_walk_level_table
+
+    g = _directed_graph(spark, sf_dir)
+    top = (
+        g.edges.groupBy("src")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("src").asc())
+        .limit(3)
+        .collect()
+    )
+    group = [int(r["src"]) for r in top]
+    return ged_walk_level_table(g, group, alpha=0.05, levels=4).select(
+        "level", "hits", F.round("contrib", 9).alias("contrib")
+    )
+
+
+QUERIES.update({"gedwalk_levels": q_gedwalk_levels})
