@@ -133,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_twophase": o.cc_converged_sql(),
         "katz_3iter": o.katz_sql(),
         "gedwalk_levels": o.gedwalk_levels_sql(),
+        "group_closeness_swaps": o.group_closeness_swaps_sql(),
         "luby_mis": o.luby_sql(),
         "sfigality": o.sfigality_sql(),
         "square_clustering": o.square_clustering_sql(),

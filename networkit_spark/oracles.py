@@ -3858,3 +3858,71 @@ WITH {EDGES_CTE},
 {chain}
 {sels}
 """
+
+
+def group_closeness_swaps_sql(k: int = 4, rounds: int = 3) -> str:
+    """Independent twin of queries.q_group_closeness_swaps: `rounds`
+    unrolled exact best-swap rounds from the k smallest vertex ids.
+    Where the Spark operator evaluates swaps through a per-(u) /
+    per-(u, nearest-member) decomposition, this twin recomputes each
+    swap's farness DIRECTLY as Σ_v min over sources S\\{x} ∪ {u} via
+    three marginal sums (joined LEAST + member-only remainder +
+    candidate-only remainder) — a different derivation agreeing on
+    integer hop sums, so the check is exact. A no-swap round is
+    idempotent, so `rounds` only needs to be ≥ the query's max_swaps."""
+    parts = [
+        f"grp0 AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT {k})"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""pv{r} AS MATERIALIZED (
+  SELECT d.id AS vtx, MIN(d.dist) AS m1
+  FROM dists d JOIN grp{p} g ON d.s = g.id GROUP BY d.id),
+cand{r} AS MATERIALIZED (SELECT vtx AS id FROM pv{r} WHERE m1 = 1),
+mex{r} AS MATERIALIZED (
+  SELECT gx.id AS x, d.id AS vtx, MIN(d.dist) AS mex
+  FROM grp{p} gx
+  JOIN dists d ON d.s <> gx.id AND d.s IN (SELECT id FROM grp{p})
+  GROUP BY gx.id, d.id),
+cd{r} AS MATERIALIZED (
+  SELECT d.s AS u, d.id AS vtx, d.dist AS du
+  FROM dists d JOIN cand{r} c ON d.s = c.id),
+ja{r} AS MATERIALIZED (
+  SELECT m.x, c.u,
+         SUM(LEAST(m.mex, c.du)) AS lsum,
+         SUM(m.mex) AS mexsum,
+         SUM(c.du) AS dusum
+  FROM mex{r} m JOIN cd{r} c ON m.vtx = c.vtx
+  GROUP BY m.x, c.u),
+basex{r} AS (SELECT x, SUM(mex) AS b FROM mex{r} GROUP BY x),
+cdsum{r} AS (SELECT u, SUM(du) AS cs FROM cd{r} GROUP BY u),
+sw{r} AS MATERIALIZED (
+  SELECT bx.x, cu.u,
+         COALESCE(j.lsum, 0) + bx.b - COALESCE(j.mexsum, 0)
+           + cu.cs - COALESCE(j.dusum, 0) AS far
+  FROM basex{r} bx CROSS JOIN cdsum{r} cu
+  LEFT JOIN ja{r} j ON j.x = bx.x AND j.u = cu.u
+  ORDER BY far ASC, bx.x ASC, cu.u ASC LIMIT 1),
+imp{r} AS MATERIALIZED (
+  SELECT x, u FROM sw{r}
+  WHERE far < (SELECT SUM(m1) FROM pv{r})),
+grp{r} AS MATERIALIZED (
+  SELECT id FROM grp{p}
+  WHERE id <> COALESCE((SELECT x FROM imp{r}), -1)
+  UNION ALL SELECT u AS id FROM imp{r})""")
+    nsw = " + ".join(
+        f"(SELECT COUNT(*) FROM imp{r})" for r in range(1, rounds + 1)
+    )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{_dists_cte()},
+{chain},
+pvf AS (
+  SELECT d.id AS vtx, MIN(d.dist) AS m1
+  FROM dists d JOIN grp{rounds} g ON d.s = g.id GROUP BY d.id)
+SELECT g.id,
+       CAST({nsw} AS INTEGER) AS n_swaps,
+       CAST((SELECT SUM(m1) FROM pvf) AS BIGINT) AS farness
+FROM grp{rounds} g
+"""

@@ -2305,3 +2305,28 @@ def q_gedwalk_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"gedwalk_levels": q_gedwalk_levels})
+
+
+def q_group_closeness_swaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-swap group-closeness local search (the engine's
+    GroupClosenessLocalSwaps/GrowShrink substitute) from the
+    deterministic worst-start group (4 smallest vertex ids), capped at
+    3 swaps. Farness values are integer hop sums, so the DuckDB twin —
+    an INDEPENDENT direct min-over-sources recomputation per swap
+    round — matches exactly."""
+    from networkit_spark.operators.groupcentrality import (
+        group_closeness_local_swaps,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    init = [int(r["id"]) for r in g.vertices().orderBy("id").limit(4).collect()]
+    members, n_swaps, farness = group_closeness_local_swaps(
+        g, init, max_swaps=3
+    )
+    return spark.createDataFrame(
+        [(m, n_swaps, farness) for m in members],
+        "id long, n_swaps int, farness long",
+    )
+
+
+QUERIES.update({"group_closeness_swaps": q_group_closeness_swaps})
