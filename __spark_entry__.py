@@ -176,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "esmc_degrees": o.degree_histogram_sql(),
         "planarity_cases": o.planarity_cases_sql(),
         "approx_betweenness_rk": o.approx_betweenness_rk_sql(),
+        "approx_group_betweenness": o.approx_group_betweenness_sql(),
         "scd_ground_truth_mod": o.scd_ground_truth_sql(),
         "conductance_parity": o.conductance_parity_sql(),
         "sampled_rand_mod": o.sampled_rand_sql(),

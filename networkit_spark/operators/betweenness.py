@@ -424,3 +424,146 @@ def approx_betweenness_rk(
         .join(scored, "id", "left")
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     )
+
+
+def approx_group_betweenness(
+    graph: Graph,
+    group_size: int,
+    samples: int | None = None,
+    epsilon: float = 0.1,
+    seed: int = 1,
+) -> DataFrame:
+    """(ord, id) — ApproxGroupBetweenness (cpp/centrality/
+    ApproxGroupBetweenness.cpp:36-139, Mahmoody et al. KDD'16): draw
+    ceil(k·ln(n)/ε²) random (s, t) pairs (`samples` overrides the
+    formula so the oracle replays a pinned count), sample ONE shortest
+    s-t path per pair by walking back from t choosing uniformly among
+    BFS predecessors (:69-77 — per-step uniform, the reference's actual
+    rule), form a hyperedge from the path's INTERIOR nodes, then greedy
+    max-coverage: k rounds each picking the node incident to the most
+    uncovered hyperedges and covering them (:100-134).
+
+    Distributed shape: identical to approx_betweenness_rk — samples are
+    rows, sources dedupe into one batched σ-BFS, the backward walk
+    advances all samples one hop per superstep with an exact hash draw
+    (uniform over predecessors: weight 1 replaces the RK walk's σ).
+    The greedy is k rounds of one anti-join + count-distinct each.
+
+    Documented substitutions: the hash draw replaces Aux::Random (same
+    distribution, replayable in SQL); coverage ties break (count desc,
+    id asc) where the reference's bucket-PQ order is schedule-dependent;
+    exhausted coverage fills with the smallest unchosen vertex ids (the
+    reference extracts zero-degree nodes in PQ insertion order = id
+    order). Undirected only; 1 ≤ k ≤ n−1; ε > 0 (reference raises)."""
+    import math
+
+    from networkit_spark.operators.embedding import _u
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    if graph.directed:
+        raise ValueError("Error: the graph must be undirected.")
+    if epsilon <= 0:
+        raise ValueError("Error: epsilon must be greater than 0.")
+    spark = graph.edges.sparkSession
+    n = graph.num_vertices()
+    if not group_size or group_size >= n:
+        raise ValueError("Error: the group size must be between 1 and n-1.")
+    if samples is None:
+        samples = int(
+            math.ceil(group_size * math.log(n) / (epsilon * epsilon))
+        )
+    r = samples
+
+    ranked = global_row_numbers(graph.vertices(), "id", "rk")
+    su = F.floor(_u(F.col("i"), 0, F.lit(0), seed) * n).cast("long")
+    qu = F.floor(_u(F.col("i"), 1, F.lit(0), seed) * (n - 1)).cast("long")
+    smp = (
+        spark.range(r).select(F.col("id").alias("i"))
+        .withColumn("srk", su)
+        .withColumn("trk", F.when(qu >= F.col("srk"), qu + 1).otherwise(qu))
+        .join(ranked.select(F.col("id").alias("s"), F.col("rk").alias("srk")), "srk")
+        .join(ranked.select(F.col("id").alias("t"), F.col("rk").alias("trk")), "trk")
+        .select("i", "s", "t")
+    )
+    smp = truncate(smp)
+    sp, sym = _forward_sssp(graph, smp.select("s"))
+    sp = truncate(sp)
+
+    cur = truncate(
+        smp.join(
+            sp.select("s", F.col("id").alias("t"), "dist"), ["s", "t"]
+        ).select("i", "s", F.col("t").alias("node"), "dist")
+    )
+    picks = []
+    step = 0
+    while True:
+        active = cur.filter(F.col("dist") > 0)
+        if active.limit(1).count() == 0:
+            break
+        step += 1
+        preds = (
+            active.join(sym, active.node == sym.dst)
+            .select("i", "s", F.col("src").alias("p"),
+                    (F.col("dist") - 1).alias("pd"))
+            .join(
+                sp.select("s", F.col("id").alias("p"),
+                          F.col("dist").alias("pd")),
+                ["s", "p", "pd"],
+            )
+        )
+        wtot = Window.partitionBy("i")
+        wcum = wtot.orderBy("p").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        udraw = _u(F.col("i"), 100 + step, F.lit(0), seed)
+        chosen = (
+            preds.withColumn("cum", F.count("*").over(wcum).cast("double"))
+            .withColumn("tot", F.count("*").over(wtot).cast("double"))
+            .filter(F.col("cum") >= udraw * F.col("tot"))
+            .withColumn("rn", F.row_number().over(wtot.orderBy("p")))
+            .filter(F.col("rn") == 1)
+            .select("i", "s", F.col("p").alias("node"),
+                    F.col("pd").alias("dist"))
+        )
+        chosen = truncate(chosen, release=cur)
+        cur = chosen
+        picks.append(
+            chosen.filter(F.col("node") != F.col("s")).select("i", "node")
+        )
+
+    if picks:
+        hyper = picks[0]
+        for p in picks[1:]:
+            hyper = hyper.unionByName(p)
+        hyper = hyper.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        hyper.count()
+    else:
+        hyper = spark.createDataFrame([], "i long, node long")
+
+    group: list[int] = []
+    uncovered = hyper
+    for _ in range(group_size):
+        top = (
+            uncovered.groupBy("node")
+            .agg(F.count_distinct("i").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("node").asc())
+            .first()
+        )
+        if top is not None and int(top["c"]) > 0:
+            pick = int(top["node"])
+        else:
+            filler = (
+                graph.vertices()
+                .filter(~F.col("id").isin(*group) if group else F.lit(True))
+                .agg(F.min("id"))
+                .first()[0]
+            )
+            pick = int(filler)
+        group.append(pick)
+        covered_ids = uncovered.filter(F.col("node") == pick).select("i")
+        uncovered = uncovered.join(covered_ids, "i", "left_anti")
+        uncovered = truncate(uncovered)
+    hyper.unpersist()
+    return spark.createDataFrame(
+        [(j + 1, g) for j, g in enumerate(group)], "ord int, id long"
+    )

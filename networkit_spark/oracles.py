@@ -3714,6 +3714,107 @@ FROM v LEFT JOIN sc ON sc.id = v.id
 """
 
 
+def approx_group_betweenness_sql(k: int = 5, r: int = 48, seed: int = 1,
+                                 max_levels: int = 8) -> str:
+    """Exact replay of operators/betweenness.approx_group_betweenness at
+    a PINNED sample count: the SAME hash-drawn (s, t) pairs as the RK
+    oracle (draws depend only on i/pos/seed), backward walk with a
+    UNIFORM predecessor draw (weight 1 replaces sigma), hyperedges = the
+    per-sample interior-node sets, then the k-round greedy max-coverage
+    unrolled (pick = max distinct-hyperedge count, ties node asc; filler
+    = smallest unchosen vertex id when coverage is exhausted)."""
+    parts = [
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        """ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM v)""",
+        f"""smp0 AS (
+  SELECT g.range AS i,
+         CAST(FLOOR({_walk_u_sql('g.range', 0, '0', seed)}
+                    * (SELECT n FROM nn)) AS BIGINT) AS srk,
+         CAST(FLOOR({_walk_u_sql('g.range', 1, '0', seed)}
+                    * ((SELECT n FROM nn) - 1)) AS BIGINT) AS q
+  FROM range({r}) g)""",
+        """smp AS MATERIALIZED (
+  SELECT s0.i, rs.id AS s, rt.id AS t
+  FROM (SELECT i, srk, CASE WHEN q >= srk THEN q + 1 ELSE q END AS trk
+        FROM smp0) s0
+  JOIN ranked rs ON rs.rk = s0.srk
+  JOIN ranked rt ON rt.rk = s0.trk)""",
+        "b0 AS (SELECT DISTINCT s, s AS id, CAST(0 AS BIGINT) AS dist"
+        " FROM smp)",
+        "vis0 AS (SELECT * FROM b0)",
+    ]
+    for L in range(1, max_levels + 1):
+        parts.append(f"""b{L} AS MATERIALIZED (
+  SELECT f.s, e.dst AS id, CAST({L} AS BIGINT) AS dist
+  FROM b{L - 1} f JOIN sym e ON e.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM vis{L - 1} w
+                    WHERE w.s = f.s AND w.id = e.dst)
+  GROUP BY f.s, e.dst)""")
+        parts.append(
+            f"vis{L} AS MATERIALIZED (SELECT * FROM vis{L - 1}"
+            f" UNION ALL SELECT * FROM b{L})"
+        )
+    parts.append(f"""cur0 AS (
+  SELECT smp.i, smp.s, smp.t AS node, sp.dist
+  FROM smp JOIN vis{max_levels} sp ON sp.s = smp.s AND sp.id = smp.t)""")
+    for s in range(1, max_levels + 1):
+        ud = _walk_u_sql("i", 100 + s, "0", seed)
+        parts.append(f"""pred{s} AS (
+  SELECT c.i, c.s, e.src AS p, c.dist - 1 AS pd
+  FROM cur{s - 1} c
+  JOIN sym e ON e.dst = c.node
+  JOIN vis{max_levels} sp
+    ON sp.s = c.s AND sp.id = e.src AND sp.dist = c.dist - 1
+  WHERE c.dist > 0)""")
+        parts.append(f"""chose{s} AS MATERIALIZED (
+  SELECT i, s, p AS node, pd AS dist FROM (
+    SELECT i, s, p, pd,
+           CAST(COUNT(*) OVER (PARTITION BY i ORDER BY p)
+                AS DOUBLE) AS cum,
+           CAST(COUNT(*) OVER (PARTITION BY i) AS DOUBLE) AS tot,
+           {ud} AS ud
+    FROM pred{s})
+  WHERE cum >= ud * tot
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY i ORDER BY p) = 1)""")
+        parts.append(f"cur{s} AS (SELECT * FROM chose{s})")
+    pick_union = "\n  UNION ALL ".join(
+        f"SELECT i, node FROM chose{s} WHERE node <> s"
+        for s in range(1, max_levels + 1)
+    )
+    parts.append(
+        f"unc0 AS MATERIALIZED (SELECT DISTINCT i, node FROM ({pick_union}))"
+    )
+    for j in range(1, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM p{x}" for x in range(1, j)
+        )
+        filler = (
+            f"(SELECT MIN(id) FROM v WHERE id NOT IN ({prev}))"
+            if prev else "(SELECT MIN(id) FROM v)"
+        )
+        parts.append(f"""p{j} AS MATERIALIZED (
+  SELECT COALESCE(
+    (SELECT node FROM unc{j - 1}
+     GROUP BY node ORDER BY COUNT(DISTINCT i) DESC, node ASC LIMIT 1),
+    {filler}) AS id)""")
+        parts.append(f"""unc{j} AS MATERIALIZED (
+  SELECT u.* FROM unc{j - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM unc{j - 1} w
+                    WHERE w.i = u.i
+                      AND w.node = (SELECT id FROM p{j})))""")
+    final = "\n  UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS ord, id FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{body}
+{final}
+"""
+
+
 def scd_ground_truth_sql() -> str:
     """Exact twin of q_scd_ground_truth_mod: found community of seed s
     (the 12 smallest vertex ids) = {u : u % 9 = s % 9}; ground truth =

@@ -1676,6 +1676,17 @@ def q_approx_betweenness_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.round("score", 9).alias("score"))
 
 
+def q_approx_group_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproxGroupBetweenness (Mahmoody hyperedge sampling + greedy
+    max-coverage) at PINNED (k=5, samples=48, seed=1) — the identical
+    sample pairs as approx_betweenness_rk, so the oracle's 8-level BFS
+    unroll provably covers every drawn walk."""
+    from networkit_spark.operators.betweenness import approx_group_betweenness
+
+    g = _undirected_graph(spark, sf_dir)
+    return approx_group_betweenness(g, group_size=5, samples=48, seed=1)
+
+
 def q_scd_ground_truth_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCDGroundTruthComparison on deterministic fixtures: found
     community of seed s (12 smallest ids) = its mod-9 class, ground
@@ -1735,6 +1746,7 @@ QUERIES.update({
     "esmc_degrees": q_esmc_degrees,
     "planarity_cases": q_planarity_cases,
     "approx_betweenness_rk": q_approx_betweenness_rk,
+    "approx_group_betweenness": q_approx_group_betweenness,
     "scd_ground_truth_mod": q_scd_ground_truth_mod,
     "conductance_parity": q_conductance_parity,
     "sampled_rand_mod": q_sampled_rand_mod,
