@@ -180,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "scd_ground_truth_mod": o.scd_ground_truth_sql(),
         "conductance_parity": o.conductance_parity_sql(),
         "sampled_rand_mod": o.sampled_rand_sql(),
+        "min_spanning_forest": o.min_spanning_forest_sql(),
+        "umsf_members": o.umsf_members_sql(),
         # Tie-broken matching: side-channel property oracle (validity,
         # edge realness, maximality, size) — see matching_summary_sql.
         "matching_summary": o.matching_summary_sql(

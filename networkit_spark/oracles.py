@@ -4027,3 +4027,62 @@ SELECT g.id,
        CAST((SELECT SUM(m1) FROM pvf) AS BIGINT) AS farness
 FROM grp{rounds} g
 """
+
+
+# -------------------------------------------------------- r2.9 spanning
+def _bottleneck_closure(weight_sql: str, rounds: int, minimax: bool) -> str:
+    """CTE chain computing the bottleneck path weight between every pair
+    of mod-3 subgraph vertices by doubling: minimax (min over paths of
+    the max edge weight) or maximin (max over paths of the min edge
+    weight). 2^rounds hops bounds any simple path in the subgraph."""
+    agg_out, agg_in = ("MIN", "GREATEST") if minimax else ("MAX", "LEAST")
+    parts = [
+        f"""se AS MATERIALIZED (
+  SELECT u, v, CAST({weight_sql} AS DOUBLE) AS w FROM und
+  WHERE u % 3 = 0 AND v % 3 = 0)""",
+        f"""p0 AS MATERIALIZED (
+  SELECT a, b, {agg_out}(w) AS d FROM (
+    SELECT u AS a, v AS b, w FROM se UNION ALL SELECT v, u, w FROM se)
+  GROUP BY a, b)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT a, b, {agg_out}(d) AS d FROM (
+    SELECT a, b, d FROM p{k - 1}
+    UNION ALL
+    SELECT l.a, r.b, {agg_in}(l.d, r.d) AS d
+    FROM p{k - 1} l JOIN p{k - 1} r ON l.b = r.a)
+  GROUP BY a, b)"""
+        )
+    return ",\n".join(parts)
+
+
+def min_spanning_forest_sql(rounds: int = 8) -> str:
+    """Cycle property under globally distinct weights (KruskalMSF.cpp
+    semantics): edge (u, v, w) is in the unique minimum spanning forest
+    iff every other u–v path carries some edge > w, i.e. iff the minimax
+    path weight between u and v equals w. Exact integer-valued doubles
+    throughout, so the equality is safe in both engines."""
+    closure = _bottleneck_closure("u * 1000 + v", rounds, minimax=True)
+    return f"""
+WITH {EDGES_CTE},
+{closure}
+SELECT se.u, se.v, se.w AS weight
+FROM se JOIN p{rounds} m ON m.a = se.u AND m.b = se.v AND m.d = se.w
+"""
+
+
+def umsf_members_sql(rounds: int = 8) -> str:
+    """UnionMaximumSpanningForest.cpp:12-90 membership: edge (u, v, w)
+    belongs iff u and v are disconnected in the strictly-heavier
+    subgraph, i.e. iff the maximin path weight between them equals w
+    (the edge itself always achieves >= w; any strictly heavier path
+    would push the maximin above w)."""
+    closure = _bottleneck_closure("1 + (u + v) % 4", rounds, minimax=False)
+    return f"""
+WITH {EDGES_CTE},
+{closure}
+SELECT se.u, se.v, se.w AS weight
+FROM se JOIN p{rounds} m ON m.a = se.u AND m.b = se.v AND m.d = se.w
+"""

@@ -2342,3 +2342,62 @@ def q_group_closeness_swaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"group_closeness_swaps": q_group_closeness_swaps})
+
+
+# -------------------------------------------------------- r2.9 spanning
+def _mod3_subgraph(spark: SparkSession, sf_dir: str, weight_expr) -> "Graph":
+    """{id % 3 == 0}-induced undirected subgraph of the link graph with a
+    deterministic per-edge weight (weight_expr over canonical (u, v),
+    u < v — symmetric by construction, so both arc directions agree)."""
+    g = _undirected_graph(spark, sf_dir)
+    u = F.least("src", "dst")
+    v = F.greatest("src", "dst")
+    sub = g.edges.filter(
+        (F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0)
+    ).select("src", "dst", weight_expr(u, v).cast("double").alias("weight"))
+    return Graph.from_edges(
+        sub,
+        directed=False,
+        weighted=True,
+        already_symmetrized=True,
+        vertices=g.vertices().filter(F.col("id") % 3 == 0),
+    )
+
+
+def q_min_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KruskalMSF.cpp / PrimMSF.cpp: the minimum spanning forest of the
+    mod-3 link subgraph under globally DISTINCT weights (w = 1000u + v,
+    u < v) — distinct weights make the forest unique, so distributed
+    Borůvka here and sequential Kruskal/Prim there return the identical
+    edge set; the oracle states it via the cycle property (edge in the
+    min forest iff its weight equals the minimax path weight between its
+    endpoints, computed by min-max doubling)."""
+    from networkit_spark.operators.spanning import minimum_spanning_forest
+
+    wg = _mod3_subgraph(
+        spark, sf_dir, lambda u, v: u * F.lit(1000) + v
+    )
+    return minimum_spanning_forest(wg).select("u", "v", "weight")
+
+
+def q_umsf_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnionMaximumSpanningForest.cpp:12-90: all edges belonging to ANY
+    maximum spanning forest of the mod-3 link subgraph under 4-level tie
+    weights (w = 1 + (u + v) % 4). Exact and unique regardless of
+    tie-breaks: edge (u, v, w) is a member iff no u–v path uses only
+    strictly heavier edges, i.e. iff the maximin path weight equals w
+    (max-min doubling in the oracle)."""
+    from networkit_spark.operators.spanning import (
+        union_maximum_spanning_forest,
+    )
+
+    wg = _mod3_subgraph(
+        spark, sf_dir, lambda u, v: F.lit(1) + F.pmod(u + v, F.lit(4))
+    )
+    return union_maximum_spanning_forest(wg).select("u", "v", "weight")
+
+
+QUERIES.update({
+    "min_spanning_forest": q_min_spanning_forest,
+    "umsf_members": q_umsf_members,
+})
