@@ -192,3 +192,81 @@ def write_partition(labels: DataFrame, path: str):
     labels.orderBy("id").coalesce(1).select(
         F.col("label").cast("string").alias("value")
     ).write.mode("overwrite").text(path)
+
+
+# ----------------------------------------------------------- r2.9 writers
+def write_metis(graph: Graph, path: str, weighted: bool | None = None):
+    """METISGraphWriter.cpp:20-60: header 'n m w', then line i = the
+    1-based neighbor list of node i-1 (continuous compact ids when the
+    vertex set is non-compact — getContinuousNodeIds parity; weighted
+    lines carry 'neighbor weight' pairs). Undirected only, like the
+    reference. Fixture-format text file: single ordered output split by
+    definition (same bound as write_partition)."""
+    if graph.directed:
+        raise ValueError("METIS does not support directed graphs")
+    if weighted is None:
+        weighted = graph.weighted
+    from networkit_spark.graphtools import continuous_node_ids
+
+    mapping = continuous_node_ids(graph)
+    n = mapping.count()
+    m = graph.num_edges()
+    e = (
+        graph.symmetrized_edges()
+        .join(mapping.select(F.col("id").alias("src"), F.col("compact_id").alias("cs")), "src")
+        .join(mapping.select(F.col("id").alias("dst"), F.col("compact_id").alias("cd")), "dst")
+    )
+    token = (
+        F.concat_ws(" ", (F.col("cd") + 1).cast("string"), F.col("weight").cast("string"))
+        if weighted
+        else (F.col("cd") + 1).cast("string")
+    )
+    adj = (
+        e.select("cs", F.struct(F.col("cd"), token.alias("tok")).alias("s"))
+        .groupBy("cs")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["tok"]),
+                " ",
+            ).alias("line")
+        )
+    )
+    body = (
+        mapping.select(F.col("compact_id").alias("cs"))
+        .join(adj, "cs", "left")
+        .select("cs", F.coalesce("line", F.lit("")).alias("value"))
+    )
+    spark = graph.edges.sparkSession
+    header = spark.createDataFrame(
+        [(-1, f"{n} {m} {int(bool(weighted))}")], "cs long, value string"
+    )
+    header.unionByName(body).orderBy("cs").coalesce(1).select("value").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def write_snap(graph: Graph, path: str):
+    """SNAPGraphWriter.cpp:15-25: problem line 'p n m u u 0' followed by
+    one '{u} {v}' per edge (forEdges order is adjacency-dependent; the
+    readers are order-insensitive, so edges are emitted in canonical
+    (u, v) order here). Single text split — fixture format."""
+    n = graph.num_vertices()
+    m = graph.num_edges()
+    if graph.directed:
+        e = graph.edges.select("src", "dst")
+    else:
+        e = (
+            graph.symmetrized_edges()
+            .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+            .distinct()
+        )
+    spark = graph.edges.sparkSession
+    header = spark.createDataFrame(
+        [(-1, -1, f"p {n} {m} u u 0")], "src long, dst long, value string"
+    )
+    body = e.select(
+        "src", "dst", F.concat_ws(" ", F.col("src").cast("string"), F.col("dst").cast("string")).alias("value")
+    )
+    header.unionByName(body).orderBy("src", "dst").coalesce(1).select("value").write.mode(
+        "overwrite"
+    ).text(path)

@@ -100,3 +100,75 @@ def test_konect_sym_and_asym(spark, tmp_path):
     assert g2.directed and g2.weighted
     w = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
     assert w == {(1, 2): 2.5, (2, 1): 1.0}
+
+
+# ---------------------------------------------------------------- r2.9
+def test_metis_writer_roundtrip(spark, tmp_path):
+    """METISGraphWriter: header 'n m w', 1-based adjacency lines — the
+    engine's own read_metis recovers the exact graph."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.edgelist import write_metis
+
+    g = Graph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 0), (2, 3)], directed=False, n=5
+    )
+    out = str(tmp_path / "m")
+    write_metis(g, out)
+    txt = [
+        line
+        for part in sorted(os.listdir(out))
+        if part.startswith("part-")
+        for line in open(os.path.join(out, part)).read().splitlines()
+    ]
+    assert txt[0] == "5 4 0"
+    assert len(txt) == 6  # header + one line per node, isolated = empty
+    assert txt[1].split() == ["2", "3"]  # node 0 -> {1, 2} (1-based)
+    assert txt[5] == ""  # node 4 isolated
+    g2 = read_metis(spark, out)
+    assert g2.num_vertices() == 5 and g2.num_edges() == 4
+    same = {
+        tuple(sorted(r)) for r in g2.symmetrized_edges().select("src", "dst").collect()
+    }
+    assert same == {(0, 1), (1, 2), (0, 2), (2, 3)}
+
+
+def test_metis_writer_weighted_and_directed_raise(spark, tmp_path):
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.edgelist import write_metis
+    import pytest
+
+    g = Graph.from_pairs(
+        spark, [(0, 1, 2.5), (1, 2, 0.5)], directed=False, n=3, weighted=True
+    )
+    out = str(tmp_path / "mw")
+    write_metis(g, out)
+    txt = [
+        line
+        for part in sorted(os.listdir(out))
+        if part.startswith("part-")
+        for line in open(os.path.join(out, part)).read().splitlines()
+    ]
+    assert txt[0] == "3 2 1"
+    assert txt[1].split() == ["2", "2.5"]
+    dg = Graph.from_pairs(spark, [(0, 1)], directed=True)
+    with pytest.raises(ValueError):
+        write_metis(dg, str(tmp_path / "bad"))
+
+
+def test_snap_writer_roundtrip(spark, tmp_path):
+    """SNAPGraphWriter problem line + edge lines; read_snap recovers the
+    edge set."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.sources.edgelist import write_snap
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 2), (3, 1)], directed=False, n=4)
+    out = str(tmp_path / "s")
+    write_snap(g, out)
+    txt = [
+        line
+        for part in sorted(os.listdir(out))
+        if part.startswith("part-")
+        for line in open(os.path.join(out, part)).read().splitlines()
+    ]
+    assert txt[0] == "p 4 3 u u 0"
+    assert txt[1:] == ["0 1", "1 2", "1 3"]
