@@ -190,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
         "suitor_matching": o.suitor_matching_sql(
             _side_channel("suitor_matching")
         ),
+        "b_matching_summary": o.b_matching_summary_sql(
+            _side_channel("b_matching_summary")
+        ),
         # Convergence-mode queries: RECURSIVE-CTE twins — DuckDB iterates
         # the same superstep to the same stopping rule, so the (data-
         # dependent) iteration count is discovered independently by both

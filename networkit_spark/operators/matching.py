@@ -219,3 +219,145 @@ def suitor_matching(graph: Graph, max_rounds: int = 256) -> DataFrame:
     out.count()
     sym.unpersist()
     return out
+
+
+def b_suitor_matching(
+    graph: Graph,
+    b: int | DataFrame = 1,
+    max_rounds: int = 256,
+) -> DataFrame:
+    """b-matching edges (u, v, weight), u < v; vertex x appears in at most
+    b(x) matched edges — BSuitorMatcher.cpp run()/findSuitors/makeSuitor
+    (Khan et al., "Efficient Approximation Algorithms For Weighted
+    B-Matching", SISC 38(5), 2016) and the BMatching validity contract
+    (BMatching.cpp isProper: capacity respected, edges real).
+
+    DOCUMENTED SUBSTITUTION (same policy as suitor_matching above): the
+    reference's sequential proposal cascade breaks weight ties by
+    per-endpoint neighbor id (BSuitorMatcher.hpp MatchingNode::operator<=>),
+    which makes tied outcomes depend on the findSuitors processing order.
+    This engine uses the deterministic total edge order (weight desc,
+    canonical pair asc). Khan et al. (Thm. 2/4) prove the b-suitor fixed
+    point equals the SEQUENTIAL GREEDY b-matching over any consistent
+    total order, so with unique weights this operator, the reference, and
+    greedy all coincide exactly (locked in tests/test_bsuitor.py against
+    both a transcribed reference replica and greedy); with ties it is one
+    deterministic member of the same 1/2-approximation family.
+
+    Spark shape per round (the parallel "locally dominant" formulation of
+    b-suitor): every live edge is viewed from both endpoints; each
+    endpoint keeps its top-r(x) live incident edges (r = residual
+    capacity) under the total order — one row_number window per side;
+    edges chosen from BOTH sides are matched (the globally heaviest live
+    edge with free endpoints is always mutual, so every round matches at
+    least one edge); residuals decrement, saturated vertices drop their
+    remaining edges. State per round = live edges + (id, residual):
+    linear, no per-source fan-out; rounds are O(log m) in practice on
+    random weights, hard-capped by max_rounds.
+
+    b: a uniform int capacity, or a DataFrame (id, b) with one row per
+    vertex (reference ctor contract: "number of b values must match the
+    number of nodes"; missing vertices raise).
+    """
+    if graph.directed:
+        raise ValueError("BSuitorMatcher does not support directed graphs")
+    if graph.number_of_self_loops():
+        raise ValueError("BSuitorMatcher does not support graphs with self-loops")
+    spark = graph.edges.sparkSession
+
+    verts = graph.vertices().select("id")
+    if isinstance(b, DataFrame):
+        bdf = b.select("id", F.col("b").cast("long").alias("b"))
+        n_missing = verts.join(bdf, "id", "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                "The number of b values does not match the number of nodes "
+                f"in this graph ({n_missing} vertices without a b value)"
+            )
+        residual = verts.join(bdf, "id").select("id", F.col("b").alias("r"))
+    else:
+        if b < 0:
+            raise ValueError("b must be non-negative")
+        residual = verts.select("id", F.lit(int(b)).cast("long").alias("r"))
+
+    live = (
+        graph.simple_undirected_edges()
+        .join(
+            graph.symmetrized_edges().select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+                "weight",
+            ),
+            ["u", "v"],
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+    )
+    live = truncate(live)
+    residual = truncate(residual)
+    matched_pieces: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        # drop edges with a saturated endpoint; join residuals in for the
+        # per-endpoint rank bound
+        ru = residual.select(F.col("id").alias("u"), F.col("r").alias("r_u"))
+        rv = residual.select(F.col("id").alias("v"), F.col("r").alias("r_v"))
+        bounded = (
+            live.join(ru, "u")
+            .join(rv, "v")
+            .filter((F.col("r_u") > 0) & (F.col("r_v") > 0))
+        )
+        sides = bounded.select(
+            F.col("u").alias("node"), F.col("r_u").alias("cap"), "u", "v", "weight"
+        ).unionByName(
+            bounded.select(
+                F.col("v").alias("node"), F.col("r_v").alias("cap"), "u", "v", "weight"
+            )
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("weight"), F.asc("u"), F.asc("v"))
+        chosen = (
+            sides.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("cap"))
+            .select("node", "u", "v", "weight")
+        )
+        mutual = (
+            chosen.groupBy("u", "v", "weight")
+            .agg(F.count("*").alias("sides"))
+            .filter("sides = 2")
+            .select("u", "v", "weight")
+        )
+        mutual = truncate(mutual)
+        if mutual.limit(1).count() == 0:
+            mutual.unpersist()
+            break
+        matched_pieces.append(mutual)
+
+        used = (
+            mutual.select(F.col("u").alias("id"))
+            .unionByName(mutual.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("used"))
+        )
+        residual = truncate(
+            residual.join(used, "id", "left").select(
+                "id", (F.col("r") - F.coalesce("used", F.lit(0))).alias("r")
+            ),
+            release=residual,
+        )
+        live = truncate(
+            live.join(mutual.select("u", "v"), ["u", "v"], "left_anti"),
+            release=live,
+        )
+
+    residual.unpersist()
+    live.unpersist()
+    if not matched_pieces:
+        return spark.createDataFrame([], "u long, v long, weight double")
+    out = matched_pieces[0]
+    for p in matched_pieces[1:]:
+        out = out.unionByName(p)
+    out = out.persist()
+    out.count()
+    for p in matched_pieces:
+        p.unpersist()
+    return out

@@ -4086,3 +4086,44 @@ WITH {EDGES_CTE},
 SELECT se.u, se.v, se.w AS weight
 FROM se JOIN p{rounds} m ON m.a = se.u AND m.b = se.v AND m.d = se.w
 """
+
+
+def b_matching_summary_sql(matching_parquet: str) -> str:
+    """Property oracle for the b-suitor b-matching (BMatching.cpp
+    isProper contract, b = 2): from the side-channel copy of the matched
+    edges, independently verify (1) per-vertex capacity — no vertex in
+    more than b matched edges, (2) every matched pair is a real edge,
+    (3) MAXIMALITY — no unmatched edge has both endpoints below capacity
+    (the 1/2-approximation rests on it), and pin size + total weight
+    recomputed from the shared hash-weight formula
+    w = ((u*2654435761 + v*40503) % 1000003) / 1000003 (exact BIGINT in
+    both engines)."""
+    return f"""
+WITH {EDGES_CTE},
+wund AS (
+  SELECT u, v,
+         ((u * 2654435761 + v * 40503) % 1000003) / 1000003.0 AS weight
+  FROM und
+),
+m AS (SELECT u, v FROM read_parquet('{matching_parquet}/*.parquet')),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM m UNION ALL SELECT v AS id FROM m
+  ) GROUP BY id
+),
+full_v AS (SELECT id FROM deg WHERE d >= 2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_matched,
+       NOT EXISTS (SELECT 1 FROM deg WHERE d > 2) AS capacity_ok,
+       NOT EXISTS (SELECT 1 FROM m LEFT JOIN wund e
+                   ON e.u = m.u AND e.v = m.v
+                   WHERE e.u IS NULL) AS edges_real,
+       NOT EXISTS (
+         SELECT 1 FROM wund e
+         WHERE NOT EXISTS (SELECT 1 FROM m
+                           WHERE m.u = e.u AND m.v = e.v)
+           AND e.u NOT IN (SELECT id FROM full_v)
+           AND e.v NOT IN (SELECT id FROM full_v)
+       ) AS is_maximal,
+       (SELECT ROUND(SUM(w2.weight), 6) FROM m
+        JOIN wund w2 ON w2.u = m.u AND w2.v = m.v) AS total_w
+"""

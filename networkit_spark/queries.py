@@ -2401,3 +2401,76 @@ QUERIES.update({
     "min_spanning_forest": q_min_spanning_forest,
     "umsf_members": q_umsf_members,
 })
+
+
+def q_b_matching_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-suitor b-matching (b=2) under deterministic hash weights
+    w(u,v) = ((u*2654435761 + v*40503) % 1000003) / 1000003 (exact BIGINT
+    arithmetic in both engines). Side-channel pattern: matched edges go
+    to parquet; Spark and DuckDB independently verify the BMatching
+    isProper contract (per-vertex capacity <= b, edges real, maximality)
+    plus size and total recomputed weight from that copy."""
+    import os
+
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.matching import b_suitor_matching
+    from networkit_spark.sources.tables import derive_web_edges
+
+    B = 2
+    e = derive_web_edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "weight",
+            (
+                (F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(40503))
+                % F.lit(1000003)
+            ).cast("double")
+            / F.lit(1000003.0),
+        )
+    )
+    g = Graph.from_edges(und, directed=False, weighted=True)
+    m = b_suitor_matching(g, B)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = side_channel_path("b_matching_summary", tag)
+    m.select("u", "v").write.mode("overwrite").parquet(path)
+    pers = spark.read.parquet(path)
+
+    wund = und.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "weight"
+    )
+    n_matched = pers.count()
+    deg = (
+        pers.select(F.col("u").alias("id"))
+        .unionByName(pers.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    capacity_ok = deg.filter(F.col("d") > B).count() == 0
+    edges_real = pers.join(wund, ["u", "v"], "left_anti").count() == 0
+    # maximality: no unmatched edge whose both endpoints are below capacity
+    full = deg.filter(F.col("d") >= B).select("id")
+    is_maximal = (
+        wund.join(pers, ["u", "v"], "left_anti")
+        .join(full.withColumnRenamed("id", "u"), "u", "left_anti")
+        .join(full.withColumnRenamed("id", "v"), "v", "left_anti")
+        .count()
+        == 0
+    )
+    total_w = (
+        pers.join(wund, ["u", "v"])
+        .agg(F.round(F.sum("weight"), 6).alias("tw"))
+        .collect()[0]["tw"]
+    )
+    return spark.createDataFrame(
+        [(n_matched, capacity_ok, edges_real, is_maximal, float(total_w or 0.0))],
+        "n_matched long, capacity_ok boolean, edges_real boolean, "
+        "is_maximal boolean, total_w double",
+    )
+
+
+QUERIES.update({"b_matching_summary": q_b_matching_summary})
