@@ -90,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "spsp_distances": o.spsp_sql(),
         "spsp_weighted": o.spsp_weighted_sql(),
         "st_distances_bidirectional": o.st_distances_sql(),
+        "st_weighted_bidirectional": o.st_weighted_sql(),
         "floyd_warshall_mod7": o.floyd_warshall_sql(),
         "pll_distances": o.pll_distances_sql(),
         "dynbfs_state": o.dynbfs_sql(),

@@ -237,6 +237,102 @@ def bidirectional_bfs(graph: Graph, source: int, target: int) -> int | None:
     return None if best is None else int(best)
 
 
+def bidirectional_dijkstra(
+    graph: Graph, source: int, target: int
+) -> float | None:
+    """BidirectionalDijkstra.cpp point-to-point weighted distance: grow
+    a forward ball from the source and a backward ball from the target
+    (over IN-edges when directed), always relaxing the smaller frontier.
+
+    The reference (BidirectionalDijkstra.cpp:14-123) settles one heap
+    node per step and stops when a settled node lands in the other
+    ball, taking min(d1+d2) over the stab set. The batched form relaxes
+    a WHOLE frontier per superstep (one arcs join + min-agg per side,
+    the multi_source_bellman_ford step) and keeps the running meeting
+    value best = min over discovered id of d1(id) + d2(id). Exactness:
+    weights must be positive (Dijkstra's own precondition), so a node
+    whose tentative one-sided distance is already >= best can never lie
+    on a path shorter than best — those rows are pruned from the
+    frontier, and when both frontiers quiesce the remaining best IS the
+    s-t distance (any strictly-shorter path would still contain an
+    improvable, unpruned node). None when the balls never meet
+    (reference: infinity sentinel).
+    """
+    if source == target:
+        return 0.0
+    spark = graph.edges.sparkSession
+    out_arcs = _weighted_arcs(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    out_arcs.count()
+    in_arcs = (
+        out_arcs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        if graph.directed else out_arcs
+    )
+
+    def _ball(node):
+        return truncate(
+            spark.createDataFrame([(int(node), 0.0)], "id long, dist double")
+        )
+
+    state = {"s": _ball(source), "t": _ball(target)}
+    frontier = dict(state)
+    fsize = {"s": 1, "t": 1}
+    arcs_of = {"s": out_arcs, "t": in_arcs}
+    best: float | None = None
+    while fsize["s"] > 0 or fsize["t"] > 0:
+        side = "s" if fsize["s"] <= fsize["t"] else "t"
+        if fsize[side] == 0:
+            side = "t" if side == "s" else "s"
+        other = "t" if side == "s" else "s"
+        cand = (
+            frontier[side]
+            .join(arcs_of[side], frontier[side].id == arcs_of[side].src)
+            .select(
+                F.col("dst").alias("id"),
+                (frontier[side].dist + arcs_of[side].weight).alias("dist"),
+            )
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                state[side].select("id", F.col("dist").alias("old")),
+                "id", "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("id", "dist")
+        )
+        if best is not None:
+            improved = improved.filter(F.col("dist") < F.lit(best))
+        improved = truncate(improved, release=frontier[side])
+        fsize[side] = improved.count()
+        frontier[side] = improved
+        if fsize[side] == 0:
+            continue
+        merged = (
+            state[side].unionByName(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        state[side] = truncate(merged, release=state[side])
+        meet = (
+            state["s"].select("id", F.col("dist").alias("d1"))
+            .join(state["t"].select("id", F.col("dist").alias("d2")), "id")
+            .agg(F.min(F.col("d1") + F.col("d2")).alias("mu"))
+            .first()[0]
+        )
+        if meet is not None:
+            best = float(meet) if best is None else min(best, float(meet))
+    for df in (state["s"], state["t"], frontier["s"], frontier["t"]):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    out_arcs.unpersist()
+    return best
+
+
 def reverse_bfs(graph: Graph, source: int) -> DataFrame:
     """(id, dist) — ReverseBFS.cpp: BFS over IN-edges (hop distance TO
     the source). On undirected graphs identical to BFS; on directed

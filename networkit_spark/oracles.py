@@ -1303,6 +1303,34 @@ JOIN dists d ON d.s = p.s AND d.id = p.t
 """
 
 
+def st_weighted_sql(rounds: int = 2 * BFS_MAX_DEPTH + 2) -> str:
+    """(s, t, dist) weighted distances for the three deterministic
+    vertex pairs of queries.q_st_weighted — BidirectionalDijkstra.cpp's
+    contract is the plain weighted shortest-path distance, so the
+    oracle reads the Bellman-Ford unroll restricted to the three
+    sources (unreachable pairs absent)."""
+    srcs = (
+        "id = (SELECT MIN(id) FROM v) OR "
+        "id = (SELECT MIN(id) FROM v WHERE id >= 150) OR "
+        "id = (SELECT MIN(id) FROM v WHERE id >= 300)"
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_bellman_ford_cte(srcs, rounds)},
+pairs AS (
+  SELECT (SELECT MIN(id) FROM v) AS s, (SELECT MAX(id) FROM v) AS t
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM v WHERE id >= 150),
+         (SELECT MAX(id) FROM v WHERE id <= 450)
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM v WHERE id >= 300),
+         (SELECT MAX(id) FROM v WHERE id <= 200)
+)
+SELECT p.s, p.t, ROUND(d.dist, 9) AS dist FROM pairs p
+JOIN bf d ON d.s = p.s AND d.id = p.t
+"""
+
+
 def scc_sql(levels: int = 6) -> str:
     """SCC labels, label = min vertex id per SCC (the engine's canonical
     relabeling, operators/scc.py). The SCC partition is UNIQUE, so an

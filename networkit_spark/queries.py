@@ -1864,10 +1864,50 @@ def q_st_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "s long, t long, dist long")
 
 
+def q_st_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BidirectionalDijkstra.cpp st-distances for the same three
+    deterministic vertex pairs under weights w = 1 + (u + v) % 2
+    (smaller-frontier weighted ball growth with best-meeting pruning;
+    the oracle reads the Bellman-Ford unroll — same fixed point)."""
+    from networkit_spark.operators.apsp import bidirectional_dijkstra
+
+    g = _undirected_graph(spark, sf_dir)
+    wed = g.edges.select(
+        "src",
+        "dst",
+        (F.lit(1.0) + F.pmod(F.col("src") + F.col("dst"), F.lit(2))).alias(
+            "weight"
+        ),
+    )
+    wg = Graph.from_edges(
+        wed, directed=False, weighted=True, vertices=g.vertices()
+    )
+    ids = sorted(r["id"] for r in g.vertices().collect())
+
+    def _min_ge(x):
+        return next(i for i in ids if i >= x)
+
+    def _max_le(x):
+        return next(i for i in reversed(ids) if i <= x)
+
+    pairs = [
+        (ids[0], ids[-1]),
+        (_min_ge(150), _max_le(450)),
+        (_min_ge(300), _max_le(200)),
+    ]
+    rows = []
+    for s, t in pairs:
+        d = bidirectional_dijkstra(wg, int(s), int(t))
+        if d is not None:
+            rows.append((int(s), int(t), round(float(d), 9)))
+    return spark.createDataFrame(rows, "s long, t long, dist double")
+
+
 QUERIES.update({
     "spsp_distances": q_spsp_distances,
     "spsp_weighted": q_spsp_weighted,
     "st_distances_bidirectional": q_st_distances,
+    "st_weighted_bidirectional": q_st_weighted,
 })
 
 

@@ -97,10 +97,13 @@ def read_edge_list_partition(
 
 def read_dgs(spark: SparkSession, path: str) -> DataFrame:
     """GraphEvent DataFrame (step, seq, type, u, v, weight) from a
-    DGS004 file — DGSReader.cpp tag semantics (`st`/`an`/`ae`, plus
-    `dn`/`de` as NODE_REMOVAL/EDGE_REMOVAL and `ce` as
-    EDGE_WEIGHT_UPDATE); node names resolve to 0-based ids in encounter
-    order. Sequential event log → driver-side parse (GML-family
+    DGS004 file — DGSStreamParser.cpp:60-110 mapped-tag grammar:
+    `st` TIME_STEP; `an`/`dn`/`rn <name>` NODE_ADDITION / NODE_REMOVAL
+    / NODE_RESTORATION; `ae <ename> <u> <v> [weight=<w>]` EDGE_ADDITION
+    (w defaults to 1.0); `de <u>-<v>` EDGE_REMOVAL; `ce`/`ie
+    <u>-<v> weight=<w>` EDGE_WEIGHT_UPDATE / EDGE_WEIGHT_INCREMENT.
+    Node names resolve to 0-based ids in encounter order (the parser's
+    `map`). Sequential event log → driver-side parse (GML-family
     policy), distributed output."""
     names: dict[str, int] = {}
     rows = []
@@ -110,6 +113,10 @@ def read_dgs(spark: SparkSession, path: str) -> DataFrame:
         if name not in names:
             names[name] = len(names)
         return names[name]
+
+    def wval(tok: str) -> float:
+        # 'weight=<w>' per the reference; bare numerals tolerated
+        return float(tok.rpartition("=")[2])
 
     with open(path, encoding="utf-8", errors="replace") as fh:
         first = fh.readline().strip()
@@ -125,30 +132,71 @@ def read_dgs(spark: SparkSession, path: str) -> DataFrame:
                 # tick sentinel seq matches generators.growth_events
                 rows.append((step, 1 << 20, "TIME_STEP", None, None, None))
                 step, seq = step + 1, 0
-            elif tag == "an" and len(parts) >= 2:
-                rows.append((step, seq, "NODE_ADDITION", nid(parts[1]), None, None))
+            elif tag in ("an", "dn", "rn") and len(parts) >= 2:
+                typ = {"an": "NODE_ADDITION", "dn": "NODE_REMOVAL",
+                       "rn": "NODE_RESTORATION"}[tag]
+                rows.append((step, seq, typ, nid(parts[1]), None, None))
                 seq += 1
             elif tag == "ae" and len(parts) >= 4:
+                w = wval(parts[4]) if len(parts) >= 5 else 1.0
                 rows.append(
-                    (step, seq, "EDGE_ADDITION", nid(parts[2]), nid(parts[3]), 1.0)
+                    (step, seq, "EDGE_ADDITION", nid(parts[2]), nid(parts[3]), w)
                 )
                 seq += 1
-            elif tag == "dn" and len(parts) >= 2:
-                rows.append((step, seq, "NODE_REMOVAL", nid(parts[1]), None, None))
-                seq += 1
-            elif tag == "de" and len(parts) >= 4:
+            elif tag == "de" and len(parts) >= 2:
+                if "-" in parts[1]:
+                    a, _, b = parts[1].partition("-")
+                else:  # tolerated legacy 'de <ename> <u> <v>'
+                    a, b = parts[2], parts[3]
                 rows.append(
-                    (step, seq, "EDGE_REMOVAL", nid(parts[2]), nid(parts[3]), None)
+                    (step, seq, "EDGE_REMOVAL", nid(a), nid(b), None)
                 )
                 seq += 1
-            elif tag == "ce" and len(parts) >= 3:
+            elif tag in ("ce", "ie") and len(parts) >= 3:
                 a, _, b = parts[1].partition("-")
+                typ = ("EDGE_WEIGHT_UPDATE" if tag == "ce"
+                       else "EDGE_WEIGHT_INCREMENT")
                 rows.append(
-                    (step, seq, "EDGE_WEIGHT_UPDATE", nid(a), nid(b),
-                     float(parts[2]))
+                    (step, seq, typ, nid(a), nid(b), wval(parts[2]))
                 )
                 seq += 1
     return spark.createDataFrame(
         rows,
         "step long, seq long, type string, u long, v long, weight double",
     )
+
+
+def write_dgs(events: DataFrame, path: str) -> None:
+    """DGSWriter.cpp:14-59 — serialize a GraphEvent DataFrame (step,
+    seq, type, u, v, weight) as DGS004: header `DGS004 / noname 0 0`,
+    then one tag line per event in (step, seq) order (`ae u-v u v
+    weight=<w>`, `de u-v`, `ce`/`ie u-v weight=<w>`, `an`/`dn`/`rn u`,
+    `st`). Node ids print verbatim (the writer's names); read_dgs maps
+    them back in encounter order. Sequential log → ordered driver-side
+    write (GML-family policy)."""
+    out = ["DGS004", "noname 0 0"]
+    for r in events.orderBy("step", "seq").collect():
+        t = r["type"]
+        if t == "TIME_STEP":
+            out.append("st")
+        elif t == "NODE_ADDITION":
+            out.append(f"an {r['u']}")
+        elif t == "NODE_REMOVAL":
+            out.append(f"dn {r['u']}")
+        elif t == "NODE_RESTORATION":
+            out.append(f"rn {r['u']}")
+        elif t == "EDGE_ADDITION":
+            w = 1.0 if r["weight"] is None else r["weight"]
+            out.append(
+                f"ae {r['u']}-{r['v']} {r['u']} {r['v']} weight={w:g}"
+            )
+        elif t == "EDGE_REMOVAL":
+            out.append(f"de {r['u']}-{r['v']}")
+        elif t == "EDGE_WEIGHT_UPDATE":
+            out.append(f"ce {r['u']}-{r['v']} weight={r['weight']:g}")
+        elif t == "EDGE_WEIGHT_INCREMENT":
+            out.append(f"ie {r['u']}-{r['v']} weight={r['weight']:g}")
+        else:
+            raise ValueError(f"unknown event type {t!r}")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(out) + "\n")

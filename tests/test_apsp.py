@@ -147,3 +147,39 @@ def test_reverse_bfs_directed(spark):  # noqa: F811
 
     fwd = {r["id"]: r["dist"] for r in apsp(g, [3]).collect()}
     assert fwd == {3: 0}
+
+
+def test_bidirectional_dijkstra_parity(spark):  # noqa: F811
+    from networkit_spark.operators.apsp import bidirectional_dijkstra
+
+    for directed, seed in ((False, 4), (True, 11)):
+        edges = erdos_renyi(
+            spark, 40, 0.08, seed=seed, directed=directed
+        ).withColumn(
+            "weight",
+            (F.lit(1) + F.pmod(
+                F.col("src") * 31 + F.col("dst") * 17, F.lit(5)
+            )).cast("double"),
+        )
+        g = Graph.from_edges(edges, directed=directed, weighted=True,
+                             vertices=spark.range(40))
+        adj = _adj(edges.collect(), directed=directed)
+        for s, t in ((0, 39), (3, 21), (7, 7), (12, 30)):
+            want = _dijkstra_py(adj, s).get(t)
+            got = bidirectional_dijkstra(g, s, t)
+            if want is None:
+                assert got is None, (directed, s, t, got)
+            else:
+                assert got is not None and abs(got - want) < 1e-9, (
+                    directed, s, t, got, want)
+
+
+def test_bidirectional_dijkstra_disconnected(spark):  # noqa: F811
+    from networkit_spark.operators.apsp import bidirectional_dijkstra
+
+    rows = [(0, 1, 2.5), (2, 3, 1.5)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(edges, directed=False, weighted=True,
+                         vertices=spark.range(4))
+    assert bidirectional_dijkstra(g, 0, 3) is None
+    assert bidirectional_dijkstra(g, 0, 1) == 2.5
