@@ -161,6 +161,22 @@ def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
     return 2.0 * mi / (ha + hb)
 
 
+def dynamic_nmi_distance(
+    old_labels: DataFrame, new_labels: DataFrame
+) -> float:
+    """DynamicNMIDistance.cpp:27-187 — NMI distance between a partition
+    and its successor after the graph changed: NMID = 1 − 2·MI/(H_old +
+    H_new) computed over the nodes present in BOTH partitions
+    (isInBoth, :17-22 — exactly the inner join inside `nmi`, whose
+    marginals re-aggregate from the joint table and therefore count
+    only overlap nodes, matching size_old/size_new at :42-49). H_old +
+    H_new = 0 → NMID = 0 (combineValues, :129-136; `nmi` returns 1
+    there), and the result is clamped to [0, 1] (sanityCheck,
+    :164-187)."""
+    d = 1.0 - nmi(old_labels, new_labels)
+    return min(1.0, max(0.0, d))
+
+
 # ----------------------------------------------- ClusteringGenerator.cpp
 def make_singleton_clustering(graph: Graph) -> DataFrame:
     """(id, label) — every node its own cluster."""

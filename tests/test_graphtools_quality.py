@@ -179,3 +179,46 @@ def test_index_edges_directed(spark):
     idx = index_edges(g).collect()
     assert sorted({r.eid for r in idx}) == [0, 1, 2]
     assert len(idx) == 3  # directed arcs each get their own id
+
+
+def test_dynamic_nmi_distance_overlap_restriction(spark):  # noqa: F811
+    """DynamicNMIDistance.cpp:27-127 replica: NMID over the nodes
+    present in BOTH partitions only (isInBoth) — new-graph nodes
+    missing from the old clustering are ignored."""
+    import math
+
+    from networkit_spark.operators.quality import dynamic_nmi_distance
+
+    # old partition covers nodes 0..7; new partition covers 0..11
+    old = [(i, i // 4) for i in range(8)]           # {0-3}, {4-7}
+    new = [(i, i // 3) for i in range(12)]          # {0-2},{3-5},{6-8},{9-11}
+    old_df = spark.createDataFrame(old, "id long, label long")
+    new_df = spark.createDataFrame(new, "id long, label long")
+
+    # pure-python reference formula over the intersection 0..7
+    inter = [(dict(old)[u], dict(new)[u]) for u in range(8)]
+    n = len(inter)
+    conf: dict = {}
+    for c, d in inter:
+        conf[(c, d)] = conf.get((c, d), 0) + 1
+    size_old: dict = {}
+    size_new: dict = {}
+    for c, d in inter:
+        size_old[c] = size_old.get(c, 0) + 1
+        size_new[d] = size_new.get(d, 0) + 1
+    mi = sum(
+        (k / n) * math.log2(k * n / (size_old[c] * size_new[d]))
+        for (c, d), k in conf.items()
+    )
+    h_old = -sum((s / n) * math.log2(s / n) for s in size_old.values())
+    h_new = -sum((s / n) * math.log2(s / n) for s in size_new.values())
+    want = 1.0 - 2.0 * mi / (h_old + h_new)
+
+    got = dynamic_nmi_distance(old_df, new_df)
+    assert abs(got - want) < 1e-9
+
+    # identical partitions -> distance 0; one-clusterings -> H_sum=0 -> 0
+    assert dynamic_nmi_distance(new_df, new_df) < 1e-12
+    one = spark.createDataFrame([(i, 0) for i in range(5)],
+                                "id long, label long")
+    assert dynamic_nmi_distance(one, one) == 0.0
