@@ -237,6 +237,73 @@ def bidirectional_bfs(graph: Graph, source: int, target: int) -> int | None:
     return None if best is None else int(best)
 
 
+def dijkstra_within(
+    graph: Graph,
+    sources,
+    radius: float | None = None,
+    excluded: DataFrame | None = None,
+) -> DataFrame:
+    """IncompleteDijkstra.cpp:15-70 as a batched ball query: (id, dist)
+    weighted distances from the source SET, never entering `excluded`
+    nodes (the constructor's explored filter — excluded sources are
+    dropped, excluded neighbors never relaxed) and, when `radius` is
+    given, truncated to dist ≤ radius (the reference is consumed
+    lazily via next() until the caller's distance bound; the batch form
+    prunes frontier rows past the bound instead — every settled value ≤
+    radius is identical). Per superstep one arcs join + min-agg, the
+    multi_source_bellman_ford step with two extra pushed-down filters."""
+    spark = graph.edges.sparkSession
+    if isinstance(sources, DataFrame):
+        src = sources.select(F.col("s").cast("long").alias("id")).distinct()
+    else:
+        src = spark.createDataFrame([(int(s),) for s in sources], "id long")
+    if excluded is not None:
+        excl = excluded.select(F.col("id").cast("long")).distinct()
+        excl = excl.persist(StorageLevel.MEMORY_AND_DISK)
+        src = src.join(excl, "id", "left_anti")
+    arcs = _weighted_arcs(graph)
+    if excluded is not None:
+        arcs = arcs.join(
+            excl.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        ).join(excl.withColumnRenamed("id", "src"), "src", "left_anti")
+    arcs = arcs.persist(StorageLevel.MEMORY_AND_DISK)
+    arcs.count()
+
+    state = truncate(src.select("id", F.lit(0.0).alias("dist")))
+    frontier = state
+    while True:
+        cand = (
+            frontier.join(arcs, frontier.id == arcs.src)
+            .select(F.col("dst").alias("id"),
+                    (frontier.dist + arcs.weight).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if radius is not None:
+            cand = cand.filter(F.col("dist") <= F.lit(float(radius)))
+        improved = (
+            cand.join(
+                state.select("id", F.col("dist").alias("old")), "id", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("id", "dist")
+        )
+        improved = truncate(improved, release=frontier)
+        if improved.limit(1).count() == 0:
+            improved.unpersist()
+            break
+        state = truncate(
+            state.unionByName(improved).groupBy("id")
+            .agg(F.min("dist").alias("dist")),
+            release=state,
+        )
+        frontier = improved
+    arcs.unpersist()
+    if excluded is not None:
+        excl.unpersist()
+    return state
+
+
 def bidirectional_dijkstra(
     graph: Graph, source: int, target: int
 ) -> float | None:

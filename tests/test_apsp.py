@@ -183,3 +183,56 @@ def test_bidirectional_dijkstra_disconnected(spark):  # noqa: F811
                          vertices=spark.range(4))
     assert bidirectional_dijkstra(g, 0, 3) is None
     assert bidirectional_dijkstra(g, 0, 1) == 2.5
+
+
+def test_dijkstra_within_excluded_and_radius(spark):  # noqa: F811
+    """IncompleteDijkstra.cpp contract: distances from a source set,
+    excluded nodes never entered, results truncated at the radius."""
+    from networkit_spark.operators.apsp import dijkstra_within
+
+    edges = erdos_renyi(spark, 35, 0.1, seed=6).withColumn(
+        "weight",
+        (F.lit(1) + F.pmod(F.col("src") * 13 + F.col("dst") * 7,
+                           F.lit(4))).cast("double"),
+    )
+    g = Graph.from_edges(edges, directed=False, weighted=True,
+                         vertices=spark.range(35))
+    excl = {3, 8, 20}
+    adj = {}
+    for r in edges.collect():
+        u, v, w = r["src"], r["dst"], r["weight"]
+        if u in excl or v in excl:
+            continue
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    srcs = [0, 11]
+    want_all = {}
+    for s in srcs:
+        if s in excl:
+            continue
+        for v, d in _dijkstra_py(adj, s).items():
+            if v not in want_all or d < want_all[v]:
+                want_all[v] = d
+    for radius in (None, 4.0):
+        excl_df = spark.createDataFrame([(i,) for i in excl], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in dijkstra_within(g, srcs, radius=radius,
+                                     excluded=excl_df).collect()
+        }
+        want = {v: d for v, d in want_all.items()
+                if radius is None or d <= radius}
+        assert got == want, (radius, got, want)
+
+
+def test_dijkstra_within_excluded_source_dropped(spark):  # noqa: F811
+    from networkit_spark.operators.apsp import dijkstra_within
+
+    e = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)],
+                              "src long, dst long, weight double")
+    g = Graph.from_edges(e, directed=False, weighted=True,
+                         vertices=spark.range(3))
+    excl = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"]
+           for r in dijkstra_within(g, [0, 2], excluded=excl).collect()}
+    assert got == {2: 0.0, 1: 1.0}
