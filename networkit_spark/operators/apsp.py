@@ -149,9 +149,84 @@ def spsp(
 
 def multi_target_bfs(graph: Graph, source: int, targets) -> DataFrame:
     """MultiTargetBFS.cpp (and MultiTargetDijkstra when weighted):
-    (id, dist) for the target set only."""
-    res = spsp(graph, [source], targets)
-    return res.select("id", "dist")
+    (id, dist) for the target set only, with the reference's early
+    termination (`targetsVisited == targets.size()` stops the search,
+    MultiTargetBFS.cpp:24-43) lifted to the batched form: once every
+    target is reached AND the cheapest frontier row is no cheaper than
+    the most expensive target distance, no target can still improve
+    (any improving path passes through a strictly cheaper, still-open
+    frontier node — positive weights), so the superstep loop stops
+    without draining the rest of the graph. At web scale that bounds
+    the ball to the targets' radius instead of the component."""
+    spark = graph.edges.sparkSession
+    if isinstance(targets, DataFrame):
+        tgt = targets.select(F.col("t").cast("long").alias("id")).distinct()
+    else:
+        tgt = spark.createDataFrame([(int(x),) for x in targets], "id long")
+    tgt = tgt.persist(StorageLevel.MEMORY_AND_DISK)
+    n_targets = tgt.count()
+
+    arcs = _weighted_arcs(graph) if graph.weighted else (
+        graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    arcs = arcs.persist(StorageLevel.MEMORY_AND_DISK)
+    arcs.count()
+
+    state = truncate(
+        spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
+    )
+    frontier = state
+    while True:
+        cand = (
+            frontier.join(arcs, frontier.id == arcs.src)
+            .select(F.col("dst").alias("id"),
+                    (frontier.dist + arcs.weight).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                state.select("id", F.col("dist").alias("old")), "id", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("id", "dist")
+        )
+        improved = truncate(improved, release=frontier)
+        if improved.limit(1).count() == 0:
+            improved.unpersist()
+            break
+        state = truncate(
+            state.unionByName(improved).groupBy("id")
+            .agg(F.min("dist").alias("dist")),
+            release=state,
+        )
+        frontier = improved
+        # early termination on the target set
+        hit = state.join(F.broadcast(tgt), "id", "left_semi")
+        agg = hit.agg(
+            F.count(F.lit(1)).alias("k"), F.max("dist").alias("tmax")
+        ).first()
+        if agg["k"] == n_targets:
+            fmin = frontier.agg(F.min("dist")).first()[0]
+            if fmin is None or fmin >= agg["tmax"]:
+                break
+    out = (
+        state.join(F.broadcast(tgt), "id", "left_semi")
+        .select(
+            "id",
+            F.col("dist").cast("long" if not graph.weighted else "double")
+            .alias("dist"),
+        )
+    )
+    out = out.localCheckpoint()
+    for df in (state, frontier):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    arcs.unpersist()
+    tgt.unpersist()
+    return out
 
 
 def graph_distance(graph: Graph, u: int, v: int) -> float | None:
