@@ -203,11 +203,25 @@ def local_similarity_scores(graph: Graph) -> DataFrame:
     )
 
 
-def multiscale_scores(graph: Graph) -> DataFrame:
-    """(u, v, score) — MultiscaleScore.cpp:15-67 over the edge weights:
-    per endpoint u, p = w(e)/Σ_{e'∋u} w(e'), probability
-    1 - (1-p)^(deg(u)-1); score = max over both endpoints."""
+def multiscale_scores(
+    graph: Graph, attribute: DataFrame | None = None
+) -> DataFrame:
+    """(u, v, score) — MultiscaleScore.cpp:15-67 over the edge weights
+    (or, when `attribute` (u, v, attr) on canonical pairs is given, over
+    that per-edge attribute — the SimmelianMultiscaleSparsifier feeds
+    triangle counts this way, Sparsifiers.cpp:107-123): per endpoint u,
+    p = w(e)/Σ_{e'∋u} w(e'), probability 1 - (1-p)^(deg(u)-1); score =
+    max over both endpoints."""
     sym = graph.symmetrized_edges().filter(F.col("src") != F.col("dst"))
+    if attribute is not None:
+        att_sym = attribute.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"),
+            F.col("attr").cast("double").alias("weight"),
+        ).unionByName(attribute.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.col("attr").cast("double").alias("weight"),
+        ))
+        sym = sym.select("src", "dst").join(att_sym, ["src", "dst"])
     per_node = sym.groupBy(F.col("src").alias("node")).agg(
         F.sum("weight").alias("s"), F.count("*").alias("d")
     )
@@ -216,8 +230,14 @@ def multiscale_scores(graph: Graph) -> DataFrame:
         .join(per_node, "node")
         .select(
             "node", "nbr",
-            (1.0 - F.pow(1.0 - F.col("weight") / F.col("s"),
-                         F.col("d").cast("double") - 1.0)).alias("p"),
+            # s = 0 (possible only for a zero-mass attribute feed) keeps
+            # the endpoint's contribution at 0 — the reference's
+            # std::max(0.0, NaN) evaluates to 0.0 (MultiscaleScore.cpp:46)
+            F.when(
+                F.col("s") > 0,
+                1.0 - F.pow(1.0 - F.col("weight") / F.col("s"),
+                            F.col("d").cast("double") - 1.0),
+            ).otherwise(F.lit(0.0)).alias("p"),
         )
     )
     return (
@@ -426,4 +446,68 @@ def random_node_edge_scores(
     ranked = global_row_numbers(keyed, "t", "rk")
     return ranked.select(
         "u", "v", (F.col("rk").cast("double") / F.lit(float(m))).alias("score")
+    )
+
+
+# ------------------------------------------------------- Sparsifiers.cpp
+# The reference's convenience wrapper family (Sparsifiers.cpp:21-137):
+# each pairs one edge-score pass with GlobalThresholdFilter(above=True).
+
+
+def _triangle_attribute(graph: Graph) -> DataFrame:
+    """(u, v, attr) = per-edge triangle counts (TriangleEdgeScore feed)."""
+    return _edge_tri_deg(graph).select(
+        "u", "v", F.col("triangles").alias("attr")
+    )
+
+
+def simmelian_sparsifier_non_parametric(
+    graph: Graph, threshold: float
+) -> Graph:
+    """Sparsifiers.cpp:31-47 — prefix-Jaccard over per-edge triangle
+    counts, keep score ≥ threshold."""
+    from networkit_spark.operators.edgescores import prefix_jaccard_score
+
+    scores = prefix_jaccard_score(graph, _triangle_attribute(graph))
+    return global_threshold_filter(graph, scores, threshold, above=True)
+
+
+def simmelian_sparsifier_parametric(
+    graph: Graph, max_rank: int, min_overlap: int
+) -> Graph:
+    """Sparsifiers.cpp:49-65 — Simmelian overlap at max_rank, keep
+    overlap ≥ min_overlap."""
+    scores = simmelian_overlap_scores(graph, max_rank=max_rank)
+    return global_threshold_filter(
+        graph, scores, float(min_overlap), above=True
+    )
+
+
+def multiscale_sparsifier(graph: Graph, alpha: float) -> Graph:
+    """Sparsifiers.cpp:67-88 — multiscale backbone over edge weights."""
+    return global_threshold_filter(
+        graph, multiscale_scores(graph), alpha, above=True
+    )
+
+
+def simmelian_multiscale_sparsifier(graph: Graph, alpha: float) -> Graph:
+    """Sparsifiers.cpp:107-123 — multiscale over per-edge TRIANGLE
+    counts."""
+    scores = multiscale_scores(graph, attribute=_triangle_attribute(graph))
+    return global_threshold_filter(graph, scores, alpha, above=True)
+
+
+def local_similarity_sparsifier(graph: Graph, e: float) -> Graph:
+    """Sparsifiers.cpp:90-105 — local-similarity exponent backbone."""
+    return global_threshold_filter(
+        graph, local_similarity_scores(graph), e, above=True
+    )
+
+
+def random_sparsifier(graph: Graph, ratio: float, seed: int = 1) -> Graph:
+    """Sparsifiers.cpp:125-137 — iid random scores, keep score ≥ ratio
+    (the reference quirk: `ratio` is the DROPPED fraction in
+    expectation, since scores are U(0,1])."""
+    return global_threshold_filter(
+        graph, random_edge_scores(graph, seed=seed), ratio, above=True
     )

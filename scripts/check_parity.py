@@ -65,10 +65,13 @@ def main():
     spark = get_spark("parity", cores=int(os.environ.get("SPARK_TEST_CPUS", "8")),
                       shuffle_partitions=8)
 
+    import time
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -104,7 +107,8 @@ def main():
             failures.append((name, "; ".join(msgs)))
             print(f"FAIL {name}: {'; '.join(msgs)}")
         else:
-            print(f"OK   {name} ({len(srows)} rows)")
+            print(f"OK   {name} ({len(srows)} rows, "
+                  f"{time.monotonic() - t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" if failures else "\nALL OK")
     spark.stop()

@@ -183,3 +183,54 @@ def test_multiscale_and_chance_hand(spark):
     assert abs(ct[(1, 2)] - 1.0) < 1e-12
     # pendant (2,3): T=0, deg(3)=1 -> 1
     assert abs(ct[(2, 3)] - 1.0) < 1e-12
+
+
+def test_sparsifier_wrappers(spark):  # noqa: F811
+    """Sparsifiers.cpp wrapper family: each = its score pass +
+    GlobalThresholdFilter(above=True); checked against composing the
+    two halves by hand, plus containment/monotonicity contracts."""
+    from networkit_spark.generators import erdos_renyi
+    from networkit_spark.operators.sparsification import (
+        global_threshold_filter,
+        local_similarity_scores,
+        local_similarity_sparsifier,
+        multiscale_scores,
+        multiscale_sparsifier,
+        random_sparsifier,
+        simmelian_multiscale_sparsifier,
+        simmelian_sparsifier_parametric,
+    )
+
+    edges = erdos_renyi(spark, 30, 0.2, seed=5)
+    g = Graph.from_edges(edges, directed=False, vertices=spark.range(30))
+
+    def canon(gr):
+        return sorted(
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+            for r in gr.edges.filter(F.col("src") < F.col("dst")).collect()
+        )
+
+    m = len(canon(g))
+
+    got = canon(local_similarity_sparsifier(g, 0.6))
+    want = canon(global_threshold_filter(
+        g, local_similarity_scores(g), 0.6, above=True))
+    assert got == want and 0 < len(got) < m
+
+    got = canon(multiscale_sparsifier(g, 0.5))
+    want = canon(global_threshold_filter(
+        g, multiscale_scores(g), 0.5, above=True))
+    assert got == want
+
+    # simmelian multiscale scores triangles, not weights
+    sm = canon(simmelian_multiscale_sparsifier(g, 0.5))
+    assert set(sm) <= set(canon(g))
+
+    sp = canon(simmelian_sparsifier_parametric(g, max_rank=5, min_overlap=1))
+    assert set(sp) <= set(canon(g))
+
+    # random: higher ratio keeps fewer edges; seeded determinism
+    r1 = canon(random_sparsifier(g, 0.3, seed=7))
+    r2 = canon(random_sparsifier(g, 0.7, seed=7))
+    assert set(r2) <= set(r1) and len(r2) < len(r1) < m
+    assert r1 == canon(random_sparsifier(g, 0.3, seed=7))
