@@ -429,6 +429,38 @@ def hyperbolic(
         raise ValueError("gamma must be > 2 (finite mean degree)")
     alpha = (gamma - 1.0) / 2.0
     R = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    pts = hyperbolic_points(spark, n, alpha, R, seed)
+    return hyperbolic_edges_from_points(pts, R, core_frac)
+
+
+def hyperbolic_points(
+    spark: SparkSession, n: int, alpha: float, R: float, seed: int = 42
+) -> DataFrame:
+    """(id, theta, r) — HyperbolicSpace::fillPoints: angle uniform on
+    [0, 2π), radius by the inverse CDF r = acosh(1 + u·(cosh(αR)−1))/α."""
+    import math
+
+    scale = 1_000_000_000_000
+    u_theta = (_h(seed, F.lit("th"), "id") % scale) / float(scale)
+    u_r = (_h(seed, F.lit("r"), "id") % scale) / float(scale)
+    return spark.range(n).select(
+        F.col("id"),
+        (u_theta * (2.0 * math.pi)).alias("theta"),
+        (
+            F.acosh(1.0 + u_r * (math.cosh(alpha * R) - 1.0)) / alpha
+        ).alias("r"),
+    )
+
+
+def hyperbolic_edges_from_points(
+    points: DataFrame, R: float, core_frac: float = 0.6
+) -> DataFrame:
+    """The T=0 threshold edge rule (hyperbolic distance ≤ R) over an
+    arbitrary (id, theta, r) point table — the two-zone blocking of
+    `hyperbolic` extracted so DynamicHyperbolicGenerator can re-apply it
+    to moved points each step."""
+    import math
+
     tau = core_frac * R
     cosh_r = math.cosh(R)
     # periphery angular reach bound at (tau, tau)
@@ -436,17 +468,7 @@ def hyperbolic(
     theta_max = math.pi if ct <= -1.0 else (0.0 if ct >= 1.0 else math.acos(ct))
     n_buckets = max(int(2.0 * math.pi / theta_max) if theta_max > 0 else 1, 1)
 
-    scale = 1_000_000_000_000
-    u_theta = (_h(seed, F.lit("th"), "id") % scale) / float(scale)
-    u_r = (_h(seed, F.lit("r"), "id") % scale) / float(scale)
-    # inverse CDF of the radial density: r = acosh(1 + u(cosh(aR)-1))/a
-    pts = spark.range(n).select(
-        F.col("id"),
-        (u_theta * (2.0 * math.pi)).alias("theta"),
-        (
-            F.acosh(1.0 + u_r * (math.cosh(alpha * R) - 1.0)) / alpha
-        ).alias("r"),
-    ).select(
+    pts = points.select(
         "id", "theta", "r",
         F.cosh("r").alias("chr"), F.sinh("r").alias("shr"),
         F.floor(F.col("theta") / (2.0 * math.pi / n_buckets))
@@ -786,6 +808,22 @@ def mocnik(spark: SparkSession, dim: int, n: int, k: float,
     )
 
 
+def _pubweb_areas(seed: int, num_dense_areas: int):
+    """Dense-area (radii, centers) — PubWebGenerator.cpp:103-118 area
+    bookkeeping (≤ dozens of values, driver-side seeded draws)."""
+    import random as _random
+
+    def _du(key: int, *vals) -> float:
+        return _random.Random(f"{seed}:{key}:{vals}").random()
+
+    radii = [
+        0.2 * f * f / 25.0
+        for f in (_du(1, a) * 5.0 + 1.0 for a in range(num_dense_areas))
+    ]
+    centers = [(_du(2, a), _du(3, a)) for a in range(num_dense_areas)]
+    return radii, centers
+
+
 def pubweb_points(spark: SparkSession, n: int, num_dense_areas: int,
                   seed: int = 42) -> DataFrame:
     """(id, x, y) — the PubWebGenerator node distribution
@@ -799,22 +837,11 @@ def pubweb_points(spark: SparkSession, n: int, num_dense_areas: int,
 
     rng_scale = 1_000_000_000_000
 
-    def _du(key: int, *vals) -> float:
-        # driver-side tiny draws use python's seeded generator — area
-        # count is O(10); node-level draws stay distributed
-        import random as _random
-
-        return _random.Random(f"{seed}:{key}:{vals}").random()
-
-    radii = [
-        0.2 * f * f / 25.0
-        for f in (_du(1, a) * 5.0 + 1.0 for a in range(num_dense_areas))
-    ]
+    radii, centers = _pubweb_areas(seed, num_dense_areas)
     scale = (n * (num_dense_areas / (num_dense_areas + 2.0))) / sum(
         r ** 1.5 for r in radii
     )
     num_per_area = [int(round(scale * r ** 1.5)) for r in radii]
-    centers = [(_du(2, a), _du(3, a)) for a in range(num_dense_areas)]
 
     parts = []
     start = 0
@@ -867,6 +894,15 @@ def pubweb(spark: SparkSession, n: int, num_dense_areas: int = 10,
     ≥ radius, 9-cell neighborhood join) — no all-pairs; per-node ranking
     is a partitioned window."""
     pts = pubweb_points(spark, n, num_dense_areas, seed)
+    return pubweb_edges_from_points(pts, neighborhood_radius, max_neighbors)
+
+
+def pubweb_edges_from_points(
+    pts: DataFrame, neighborhood_radius: float = 0.1, max_neighbors: int = 4
+) -> DataFrame:
+    """The PubWeb mutual-top-k edge rule over an arbitrary (id, x, y)
+    torus point table (extracted so DynamicPubWebGenerator can re-apply
+    it to the churned node set each step)."""
     ncell = max(1, int(1.0 / neighborhood_radius))
     cw = 1.0 / ncell
     cells = pts.select(
@@ -1039,6 +1075,35 @@ def graph_from_events(events: DataFrame, up_to_step: int | None = None) -> DataF
     )
 
 
+def graph_from_events_full(
+    events: DataFrame, up_to_step: int | None = None
+) -> DataFrame:
+    """(src, dst, weight) — full GraphEvent replay supporting removals
+    and weight updates (churn streams like dynamic_pubweb_events):
+    an edge is present iff the LAST event for its canonical pair (in
+    (step, seq) order) is an addition or weight update, carrying that
+    event's weight — one distributed max_by aggregation, no sequential
+    driver replay."""
+    ev = events
+    if up_to_step is not None:
+        ev = ev.filter(F.col("step") <= up_to_step)
+    ed = ev.filter(
+        F.col("type").isin("EDGE_ADDITION", "EDGE_REMOVAL",
+                           "EDGE_WEIGHT_UPDATE")
+    ).select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"),
+        "step", "seq", "type", "weight",
+    )
+    last = ed.groupBy("src", "dst").agg(
+        F.max_by(
+            F.struct("type", "weight"), F.struct("step", "seq")
+        ).alias("ev")
+    )
+    return last.filter(F.col("ev.type") != "EDGE_REMOVAL").select(
+        "src", "dst", F.col("ev.weight").alias("weight")
+    )
+
+
 def dynamic_forest_fire_events(
     spark: SparkSession, n_steps: int, p: float, seed: int = 42
 ) -> DataFrame:
@@ -1103,6 +1168,265 @@ def dynamic_forest_fire_events(
             adj.setdefault(v, set()).add(w)
         adj.setdefault(v, set())
         rows.append((t, 1 << 20, "TIME_STEP", None, None, None))
+    return spark.createDataFrame(
+        rows, "step long, seq long, type string, u long, v long, weight double"
+    )
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.1,
+    max_neighbors: int = 4,
+    seed: int = 42,
+    write_initial: bool = True,
+) -> DataFrame:
+    """DynamicPubWebGenerator.cpp:24-170 as a GraphEvent stream: per
+    step, 5% of the current nodes are deleted (incident EDGE_REMOVALs
+    first, then NODE_REMOVALs), 5% new nodes are inserted at
+    cluster-drawn torus coordinates (NODE_ADDITIONs; cluster pick over
+    num_dense_areas + 2 outcomes, the reference's integer(areas+1)
+    inclusive draw, the +2 tail = uniform noise, :77-94), the
+    mutual-top-k edge rule is recomputed over the churned node set, and
+    the diff is emitted exactly as the reference does (:106-160):
+    EDGE_WEIGHT_UPDATE for EVERY surviving edge (the reference refreshes
+    the weight unconditionally), EDGE_REMOVAL for no-longer-eligible
+    edges, EDGE_ADDITION for new ones; TIME_STEP closes the step.
+    Deleted node ids are never reused (G.addNode() semantics).
+
+    Every draw is the engine's seeded hash (the reference's global URNG
+    is run-to-run nondeterministic), so the stream is a pure function of
+    the parameters. The edge rule and set diffs run distributed
+    (pubweb_edges_from_points, anti-joins); only the bounded event rows
+    are collected, in (category, id) order — the event stream is the
+    sequential deliverable, the same policy as the DGS writer."""
+    import math as _math
+
+    rng_scale = 1_000_000_000_000
+    radii, centers = _pubweb_areas(seed, num_dense_areas)
+
+    pts = pubweb_points(spark, n, num_dense_areas, seed).persist()
+    edges = pubweb_edges_from_points(
+        pts, neighborhood_radius, max_neighbors
+    ).persist()
+
+    rows = []
+    step = 1
+    if write_initial:
+        sq = 0
+        for r in sorted(pts.collect(), key=lambda r: r["id"]):
+            rows.append((step, sq, "NODE_ADDITION", r["id"], None, None))
+            sq += 1
+        for e in sorted(edges.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_ADDITION", e["src"], e["dst"],
+                         float(e["weight"])))
+            sq += 1
+        rows.append((step, 1 << 20, "TIME_STEP", None, None, None))
+        step += 1
+
+    next_id = n
+    for t in range(n_steps):
+        n_t = pts.count()
+        churn = int(n_t * 0.05)
+        sq = 0
+
+        # --- deletions: the churn smallest seeded-hash ranks
+        del_df = (
+            pts.select("id", _h(seed + 31, F.col("id"), F.lit(t)).alias("h"))
+            .orderBy("h", "id").limit(churn).select("id")
+        ).persist()
+        gone = (
+            edges.join(del_df.withColumnRenamed("id", "src"), "src",
+                       "left_semi")
+            .unionByName(
+                edges.join(del_df.withColumnRenamed("id", "dst"), "dst",
+                           "left_semi").select(edges.columns))
+            .dropDuplicates(["src", "dst"])
+        ).persist()
+        for e in sorted(gone.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_REMOVAL", e["src"], e["dst"], None))
+            sq += 1
+        del_ids = sorted(r["id"] for r in del_df.collect())
+        for u in del_ids:
+            rows.append((step, sq, "NODE_REMOVAL", u, None, None))
+            sq += 1
+
+        # --- insertions: cluster-drawn coordinates
+        new_ids = spark.range(next_id, next_id + churn).select("id")
+        c_pick = _h(seed + 37, F.col("id"), F.lit(t)) % (num_dense_areas + 2)
+        angle = (
+            _h(seed + 41, F.col("id"), F.lit(t)) % rng_scale / F.lit(1.0e12)
+        ) * (2.0 * _math.pi)
+        unit = (
+            _h(seed + 43, F.col("id"), F.lit(t)) % rng_scale / F.lit(1.0e12)
+        )
+        x_expr = unit  # noise default: uniform x
+        y_expr = (
+            _h(seed + 47, F.col("id"), F.lit(t)) % rng_scale / F.lit(1.0e12)
+        )
+        for a in range(num_dense_areas):
+            cx, cy = centers[a]
+            dist = unit * radii[a]
+            x_expr = F.when(
+                c_pick == a, F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0))
+            ).otherwise(x_expr)
+            y_expr = F.when(
+                c_pick == a, F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0))
+            ).otherwise(y_expr)
+        new_pts = new_ids.select(
+            "id", x_expr.alias("x"), y_expr.alias("y")
+        )
+        for u in range(next_id, next_id + churn):
+            rows.append((step, sq, "NODE_ADDITION", u, None, None))
+            sq += 1
+        next_id += churn
+
+        # --- recompute the rule over the churned node set, diff
+        pts2 = (
+            pts.join(del_df, "id", "left_anti").unionByName(new_pts)
+        ).persist()
+        pts2.count()
+        edges2 = pubweb_edges_from_points(
+            pts2, neighborhood_radius, max_neighbors
+        ).persist()
+        prev2 = edges.join(gone, ["src", "dst"], "left_anti")
+        survivors = edges2.join(prev2, ["src", "dst"], "left_semi")
+        removed = prev2.join(edges2, ["src", "dst"], "left_anti")
+        added = edges2.join(prev2, ["src", "dst"], "left_anti")
+        for e in sorted(survivors.collect(),
+                        key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_WEIGHT_UPDATE", e["src"], e["dst"],
+                         float(e["weight"])))
+            sq += 1
+        for e in sorted(removed.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_REMOVAL", e["src"], e["dst"], None))
+            sq += 1
+        for e in sorted(added.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_ADDITION", e["src"], e["dst"],
+                         float(e["weight"])))
+            sq += 1
+        rows.append((step, 1 << 20, "TIME_STEP", None, None, None))
+        step += 1
+
+        for df in (pts, edges, del_df, gone):
+            df.unpersist()
+        pts, edges = pts2, edges2
+
+    pts.unpersist()
+    edges.unpersist()
+    return spark.createDataFrame(
+        rows, "step long, seq long, type string, u long, v long, weight double"
+    )
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    avg_degree: float = 6.0,
+    gamma: float = 3.0,
+    move_each_step: float = 0.3,
+    move_distance: float = 0.1,
+    seed: int = 42,
+    write_initial: bool = True,
+) -> DataFrame:
+    """DynamicHyperbolicGenerator.cpp:152-371 (T = 0 threshold mode) as
+    a GraphEvent stream: per step each node wiggles with probability
+    move_each_step; a wiggled node moves radially in cosh-cdf space
+    (newcosh = cosh(αr) + α·radialMovement, bouncing off the boundary
+    and crossing the center with a π angular flip, :176-221) and
+    angularly by angularMovement/newRadius; the threshold edge rule is
+    re-evaluated and the canonical-pair diff is emitted (the reference
+    canonicalizes, sorts, and dedupes its per-node neighborhood diffs,
+    :355-366 — identical to the full-edge-set diff, since an edge
+    between two unmoved nodes never changes). Movement vectors persist
+    across steps and FLIP SIGN on bounce (initializeMovement: angular ~
+    U(−d, d), radial ~ U(−10d, 10d), :77-85); every draw is the
+    engine's seeded hash. The moved point set and the edge rule stay
+    distributed (hyperbolic_edges_from_points); only the bounded event
+    rows are collected — the stream is the sequential deliverable."""
+    import math as _math
+
+    if gamma <= 2.0:
+        raise ValueError("gamma must be > 2 (finite mean degree)")
+    alpha = (gamma - 1.0) / 2.0
+    R = 2.0 * _math.log(8.0 * n / (_math.pi * avg_degree))
+    maxcdf = _math.cosh(alpha * R)
+    two_pi = 2.0 * _math.pi
+    scale = 1_000_000_000_000
+
+    def u01(key, *cols):
+        return (_h(seed + key, *cols) % scale) / F.lit(float(scale))
+
+    pts = hyperbolic_points(spark, n, alpha, R, seed).select(
+        "id", "theta", "r",
+        ((u01(61, "id") * 2.0 - 1.0) * move_distance).alias("am"),
+        ((u01(67, "id") * 2.0 - 1.0) * (10.0 * move_distance)).alias("rm"),
+    ).persist()
+    edges = hyperbolic_edges_from_points(pts, R).persist()
+
+    rows = []
+    step = 1
+    if write_initial:
+        sq = 0
+        for i in range(n):
+            rows.append((step, sq, "NODE_ADDITION", i, None, None))
+            sq += 1
+        for e in sorted(edges.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_ADDITION", e["src"], e["dst"], 1.0))
+            sq += 1
+        rows.append((step, 1 << 20, "TIME_STEP", None, None, None))
+        step += 1
+
+    for t in range(n_steps):
+        wig = u01(71, "id", F.lit(t)) < move_each_step
+        c0 = F.cosh(F.col("r") * alpha) + alpha * F.col("rm")
+        over = c0 > maxcdf
+        c1 = F.when(over, c0 - 2.0 * (c0 - maxcdf)).otherwise(c0)
+        rm1 = F.when(over, -F.col("rm")).otherwise(F.col("rm"))
+        under = c1 < 1.0
+        c2 = F.when(under, c1 + 2.0 * (1.0 - c1)).otherwise(c1)
+        rm2 = F.when(under, -rm1).otherwise(rm1)
+        phi1 = F.when(
+            under,
+            F.when(F.col("theta") > _math.pi, F.col("theta") - _math.pi)
+            .otherwise(F.col("theta") + _math.pi),
+        ).otherwise(F.col("theta"))
+        newr = F.least(F.acosh(c2) / alpha, F.lit(R - 1e-12))
+        phi2 = phi1 + F.col("am") / newr
+        phi3 = (
+            F.when(phi2 < 0,
+                   phi2 + (F.floor(-phi2 / two_pi) + 1) * two_pi)
+            .when(phi2 > two_pi, phi2 - F.floor(phi2 / two_pi) * two_pi)
+            .otherwise(phi2)
+        )
+        pts2 = pts.select(
+            "id",
+            F.when(wig, phi3).otherwise(F.col("theta")).alias("theta"),
+            F.when(wig, newr).otherwise(F.col("r")).alias("r"),
+            "am",
+            F.when(wig, rm2).otherwise(F.col("rm")).alias("rm"),
+        ).localCheckpoint()
+        edges2 = hyperbolic_edges_from_points(pts2, R).persist()
+        removed = edges.join(edges2, ["src", "dst"], "left_anti")
+        added = edges2.join(edges, ["src", "dst"], "left_anti")
+        sq = 0
+        for e in sorted(removed.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_REMOVAL", e["src"], e["dst"], None))
+            sq += 1
+        for e in sorted(added.collect(), key=lambda e: (e["src"], e["dst"])):
+            rows.append((step, sq, "EDGE_ADDITION", e["src"], e["dst"], 1.0))
+            sq += 1
+        rows.append((step, 1 << 20, "TIME_STEP", None, None, None))
+        step += 1
+        pts.unpersist()
+        edges.unpersist()
+        pts, edges = pts2, edges2
+
+    pts.unpersist()
+    edges.unpersist()
     return spark.createDataFrame(
         rows, "step long, seq long, type string, u long, v long, weight double"
     )

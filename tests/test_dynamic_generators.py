@@ -128,3 +128,144 @@ def test_forest_fire_events(spark):  # noqa: F811
     dense = dynamic_forest_fire_events(spark, 25, p=0.7, seed=6).collect()
     assert (sum(1 for r in dense if r["type"] == "EDGE_ADDITION")
             > len(edges))
+
+
+def test_dynamic_pubweb_events(spark):  # noqa: F811
+    """DynamicPubWebGenerator stream: initial graph = static PubWeb,
+    5% churn per step, diff events exact against an independent
+    last-event-wins replay, deleted ids never reused."""
+    from networkit_spark.generators import (
+        dynamic_pubweb_events,
+        graph_from_events_full,
+        pubweb,
+    )
+
+    n, steps = 80, 2
+    ev = dynamic_pubweb_events(
+        spark, n, steps, num_dense_areas=3, neighborhood_radius=0.25,
+        max_neighbors=3, seed=7,
+    )
+    rows = sorted(
+        ((r["step"], r["seq"], r["type"], r["u"], r["v"], r["weight"])
+         for r in ev.collect())
+    )
+    # determinism
+    ev2 = dynamic_pubweb_events(
+        spark, n, steps, num_dense_areas=3, neighborhood_radius=0.25,
+        max_neighbors=3, seed=7,
+    )
+    assert rows == sorted(
+        ((r["step"], r["seq"], r["type"], r["u"], r["v"], r["weight"])
+         for r in ev2.collect())
+    )
+
+    # step 1 = the static generator exactly
+    static = sorted(
+        (r["src"], r["dst"], round(r["weight"], 9))
+        for r in pubweb(spark, n, num_dense_areas=3,
+                        neighborhood_radius=0.25, max_neighbors=3,
+                        seed=7).collect()
+    )
+    init_edges = sorted(
+        (u, v, round(w, 9)) for (s, _, t, u, v, w) in rows
+        if s == 1 and t == "EDGE_ADDITION"
+    )
+    assert init_edges == static
+    assert sum(1 for r in rows if r[0] == 1 and r[2] == "NODE_ADDITION") == n
+
+    # churn accounting per step + node-set replay
+    alive = set(range(n))
+    next_id = n
+    churn0 = int(n * 0.05)
+    for s in range(2, steps + 2):
+        step_rows = [r for r in rows if r[0] == s]
+        dels = [r[3] for r in step_rows if r[2] == "NODE_REMOVAL"]
+        adds = [r[3] for r in step_rows if r[2] == "NODE_ADDITION"]
+        assert len(dels) == len(adds) == churn0
+        assert all(d in alive for d in dels)
+        assert adds == list(range(next_id, next_id + len(adds)))  # no reuse
+        alive -= set(dels)
+        alive |= set(adds)
+        next_id += len(adds)
+        # every edge event touches only nodes alive at that point
+        for (_, _, t, u, v, _) in step_rows:
+            if t in ("EDGE_ADDITION", "EDGE_WEIGHT_UPDATE"):
+                assert u in alive and v in alive
+
+    # replay: no edge of the final graph touches a dead node, and the
+    # final edge set equals the per-step diff bookkeeping
+    final = {(r["src"], r["dst"]) for r in
+             graph_from_events_full(ev).collect()}
+    assert all(u in alive and v in alive for u, v in final)
+    book = set()
+    for (s, _, t, u, v, _) in rows:
+        e = (min(u, v), max(u, v)) if v is not None else None
+        if t == "EDGE_ADDITION":
+            book.add(e)
+        elif t == "EDGE_REMOVAL":
+            book.discard(e)
+    assert final == book
+
+
+def test_dynamic_hyperbolic_events(spark):  # noqa: F811
+    """DynamicHyperbolic stream (T=0): initial graph = static threshold
+    RHG, per-step diffs replay to the edge rule over the moved points,
+    radii stay inside (0, R), movement is deterministic in the seed."""
+    import math
+
+    from networkit_spark.generators import (
+        dynamic_hyperbolic_events,
+        graph_from_events_full,
+        hyperbolic,
+    )
+
+    n, steps = 70, 2
+    kw = dict(avg_degree=5.0, gamma=3.0, move_each_step=0.5,
+              move_distance=0.1, seed=9)
+    ev = dynamic_hyperbolic_events(spark, n, steps, **kw)
+    rows = sorted(
+        ((r["step"], r["seq"], r["type"], r["u"], r["v"], r["weight"])
+         for r in ev.collect())
+    )
+    ev2 = dynamic_hyperbolic_events(spark, n, steps, **kw)
+    assert rows == sorted(
+        ((r["step"], r["seq"], r["type"], r["u"], r["v"], r["weight"])
+         for r in ev2.collect())
+    )
+
+    # step 1 = the static generator exactly
+    static = sorted(
+        (r["src"], r["dst"])
+        for r in hyperbolic(spark, n, avg_degree=5.0, gamma=3.0,
+                            seed=9).collect()
+    )
+    init_edges = sorted(
+        (u, v) for (s, _, t, u, v, _) in rows
+        if s == 1 and t == "EDGE_ADDITION"
+    )
+    assert init_edges == static
+
+    # movement produced SOME churn but the node set is fixed
+    assert not any(t in ("NODE_REMOVAL",)
+                   for (_, _, t, _, _, _) in rows)
+    churn = [r for r in rows if r[0] > 1 and r[2] in
+             ("EDGE_ADDITION", "EDGE_REMOVAL")]
+    assert churn, "no edge churn despite move_each_step=0.5"
+    for (_, _, _, u, v, _) in churn:
+        assert 0 <= u < v < n  # canonical pairs, fixed node set
+
+    # replay bookkeeping: diff stream is consistent (no double-add or
+    # remove-of-absent), and last-event-wins replay matches it
+    book = set(init_edges)
+    for (s, _, t, u, v, _) in rows:
+        if s == 1 or v is None:
+            continue
+        if t == "EDGE_ADDITION":
+            assert (u, v) not in book, (s, u, v)
+            book.add((u, v))
+        elif t == "EDGE_REMOVAL":
+            assert (u, v) in book, (s, u, v)
+            book.discard((u, v))
+    final = {(r["src"], r["dst"])
+             for r in graph_from_events_full(ev).collect()}
+    assert final == book
