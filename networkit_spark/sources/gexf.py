@@ -228,3 +228,47 @@ def write_dot(graph: Graph, path: str) -> None:
         for u, v in arcs:
             fh.write(f"{u} -- {v};\n")
         fh.write("}\n")
+
+
+def write_dot_partition(graph: Graph, labels, path: str) -> None:
+    """DotPartitionWriter.cpp:8-49 — DOT graph with per-cluster HSV fill
+    colors: non-isolated nodes get `u [style=filled,
+    color="<hue>,0.99,0.99", label=<c>];` where hue = idx/|clusters|
+    over the distinct clusters of non-isolated nodes, then the `u -- v;`
+    edge lines. The reference iterates an unordered_set (run-to-run
+    hue-assignment nondeterminism); this engine assigns hue indices in
+    ASCENDING cluster-label order — the deterministic substitution. The
+    label/degree/edge joins run distributed; the bounded text lines are
+    written driver-side (terminal sink, GML-family policy)."""
+    from pyspark.sql import functions as F
+
+    und = (
+        graph.edges.select("src", "dst") if graph.directed
+        else graph.symmetrized_edges().select("src", "dst")
+    )
+    deg = und.groupBy(F.col("src").alias("id")).count().select("id")
+    lab = labels.select("id", "label").join(deg, "id", "left_semi")
+    rows = sorted((r["id"], r["label"]) for r in lab.collect())
+    clusters = sorted({c for _, c in rows})
+    factor = 1.0 / len(clusters) if clusters else 0.0
+    hue = {c: factor * i for i, c in enumerate(clusters)}
+    if graph.directed:
+        arcs = sorted(
+            (r["src"], r["dst"])
+            for r in graph.edges.select("src", "dst").collect()
+        )
+    else:
+        arcs = sorted({
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+            for r in graph.edges.select("src", "dst").collect()
+        })
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("graph {\n")
+        for u, c in rows:
+            fh.write(
+                f'{u} [style=filled, color="{hue[c]},0.99,0.99", '
+                f"label={c}];\n"
+            )
+        for u, v in arcs:
+            fh.write(f"{u} -- {v};\n")
+        fh.write("}\n")

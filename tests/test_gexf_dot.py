@@ -103,3 +103,30 @@ def test_dot_writer_reference_format(spark, tmp_path):
     write_dot(g, p)
     # DotGraphWriter.cpp quirk: always undirected syntax, each edge once
     assert open(p).read() == "graph {\n0 -- 1;\n1 -- 2;\n}\n"
+
+
+def test_dot_partition_writer(spark, tmp_path):  # noqa: F811
+    """DotPartitionWriter.cpp: filled non-isolated nodes with
+    ascending-label hue assignment, isolated nodes skipped, undirected
+    edge lines."""
+    from networkit_spark.sources.gexf import write_dot_partition
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    # node 4 is isolated
+    g = Graph.from_edges(e, directed=False, vertices=spark.range(5))
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20), (3, 20), (4, 30)], "id long, label long"
+    )
+    f = tmp_path / "p.dot"
+    write_dot_partition(g, labels, str(f))
+    lines = f.read_text().splitlines()
+    assert lines[0] == "graph {" and lines[-1] == "}"
+    # two clusters among non-isolated nodes -> hues 0.0 and 0.5; the
+    # isolated node 4 (cluster 30) contributes neither a line nor a hue
+    assert '0 [style=filled, color="0.0,0.99,0.99", label=10];' in lines
+    assert '2 [style=filled, color="0.5,0.99,0.99", label=20];' in lines
+    assert not any(ln.startswith("4 ") for ln in lines)
+    assert "0 -- 1;" in lines and "0 -- 3;" in lines and "1 -- 2;" in lines
