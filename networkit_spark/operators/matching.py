@@ -361,3 +361,79 @@ def b_suitor_matching(
     for p in matched_pieces:
         p.unpersist()
     return out
+
+
+def dynamic_b_suitor_matching(
+    graph: Graph,
+    events: DataFrame,
+    b: int | DataFrame = 1,
+    max_rounds: int = 256,
+) -> tuple[Graph, DataFrame]:
+    """Dynamic b-matching under a batch of edge events — the engine's
+    dynamics-policy realization of DynamicBSuitorMatcher
+    (cpp/matching/DynamicBSuitorMatcher.cpp).
+
+    Reference semantics: update()/updateBatch() (:17-33) accept ONLY
+    EDGE_ADDITION / EDGE_REMOVAL events (anything else throws) and
+    repair the suitor fixed point per event via trackUpdatePath
+    cascades (:62-115). Khan et al. (SISC 2016, Thm. 2/4) prove the
+    b-suitor fixed point is UNIQUE on unique weights (= the sequential
+    greedy b-matching), so per-event repair and recompute-on-the-
+    updated-graph land on the IDENTICAL matching — which is exactly
+    this engine's batch-dynamics policy (COVERAGE.md dynamics note):
+    apply the whole event batch to the edge table, then recompute with
+    the order-independent distributed b-suitor. No per-event sequential
+    cascade survives at 10¹²-edge scale; the batch formulation is the
+    scale-correct equivalent, exact by the uniqueness theorem (locked
+    against per-batch greedy recompute in tests/test_bsuitor.py).
+
+    events: (type, u, v, w [, step, seq]) with type in EDGE_ADDITION /
+    EDGE_REMOVAL (GraphEvent.hpp names, as produced by the engine's
+    dynamic generators and graphdiff). When ordering columns are
+    present, the LAST event per canonical pair wins (batch-prefix
+    semantics); otherwise each pair must appear once.
+
+    Returns (updated_graph, matching) — matching as b_suitor_matching
+    (u, v, weight with u < v).
+    """
+    allowed = {"EDGE_ADDITION", "EDGE_REMOVAL", "edge_addition", "edge_removal"}
+    bad = (
+        events.select(F.col("type"))
+        .distinct()
+        .filter(~F.col("type").isin(*allowed))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "Event type not allowed. Edge insertions and removals only."
+        )
+    canon = events.select(
+        F.upper("type").alias("type"),
+        F.least("u", "v").alias("u"),
+        F.greatest("u", "v").alias("v"),
+        (F.col("w") if "w" in events.columns else F.lit(1.0))
+        .cast("double").alias("w"),
+        *[F.col(c) for c in ("step", "seq") if c in events.columns],
+    )
+    if "step" in canon.columns or "seq" in canon.columns:
+        order = [F.col(c) for c in ("step", "seq") if c in canon.columns]
+        wlast = Window.partitionBy("u", "v").orderBy(*[c.desc() for c in order])
+        canon = (
+            canon.withColumn("rn", F.row_number().over(wlast))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+    adds = canon.filter(F.upper("type") == "EDGE_ADDITION").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("w").alias("weight"),
+    )
+    removes = canon.filter(F.upper("type") == "EDGE_REMOVAL").select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    # upsert: every touched pair leaves the table first, additions
+    # re-enter at their event weight (a re-add of a live edge is a
+    # setWeight in reference terms, not a multi-edge)
+    touched = removes.unionByName(adds.select("src", "dst"))
+    updated = graph.remove_edges(touched).add_edges(adds)
+    return updated, b_suitor_matching(updated, b=b, max_rounds=max_rounds)

@@ -188,3 +188,59 @@ def test_bsuitor_missing_b_raises(spark):
     bdf = g.edges.sparkSession.createDataFrame([(0, 1), (1, 1)], "id long, b long")
     with pytest.raises(ValueError, match="number of b values"):
         b_suitor_matching(g, bdf)
+
+
+def test_dynamic_bsuitor_batches_match_greedy_recompute(spark):
+    """DynamicBSuitorMatcher contract: after each updateBatch the
+    matching equals the b-suitor fixed point of the updated graph —
+    unique on unique weights (Khan et al. Thm. 2/4), so per-event
+    cascade repair (the reference) and this engine's batch policy
+    coincide exactly. Exercises additions, removals, and a weight
+    re-add (upsert)."""
+    from networkit_spark.operators.matching import dynamic_b_suitor_matching
+
+    n, b = 12, 2
+    edges = _random_weighted(n, 0.35, seed=5)
+    g = Graph.from_pairs(
+        spark, [(u, v, w) for (u, v), w in edges.items()],
+        directed=False, n=n, weighted=True,
+    )
+    rng = random.Random(17)
+    cur = dict(edges)
+    batches = []
+    for _ in range(3):
+        batch = []
+        # two removals of live edges
+        for (u, v) in rng.sample(sorted(cur), 2):
+            batch.append(("EDGE_REMOVAL", u, v, cur.pop((u, v))))
+        # two additions (fresh or weight-update)
+        for _ in range(2):
+            u, v = sorted(rng.sample(range(n), 2))
+            w = rng.random() + 0.5
+            cur[(u, v)] = w
+            batch.append(("EDGE_ADDITION", u, v, w))
+        batches.append(batch)
+
+    for batch in batches:
+        ev = spark.createDataFrame(batch, "type string, u long, v long, w double")
+        g, m = dynamic_b_suitor_matching(g, ev, b=b)
+        got = {(r["u"], r["v"]) for r in m.collect()}
+        # greedy recompute on the CURRENT edge snapshot of this prefix
+        assert got == _greedy_b(
+            {
+                (r["src"], r["dst"]): r["weight"]
+                for r in g.edges.filter("src < dst").collect()
+            },
+            {i: b for i in range(n)},
+        )
+
+
+def test_dynamic_bsuitor_rejects_other_events(spark):
+    from networkit_spark.operators.matching import dynamic_b_suitor_matching
+
+    g = Graph.from_pairs(spark, [(0, 1, 1.0)], directed=False, n=2, weighted=True)
+    ev = g.edges.sparkSession.createDataFrame(
+        [("NODE_ADDITION", 2, 2, 0.0)], "type string, u long, v long, w double"
+    )
+    with pytest.raises(ValueError, match="Edge insertions and removals only"):
+        dynamic_b_suitor_matching(g, ev)
