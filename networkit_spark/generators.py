@@ -808,6 +808,69 @@ def mocnik(spark: SparkSession, dim: int, n: int, k: float,
     )
 
 
+def mocnik_layers(spark: SparkSession, dim: int, ns: list, ks: list,
+                  relative_weights: list | None = None, weighted: bool = False,
+                  seed: int = 42) -> DataFrame:
+    """(src, dst, weight) DIRECTED — the multi-layer MocnikGenerator
+    (MocnikGenerator.cpp generate() :305-340 + addEdgesToGraph
+    :229-301): ONE point set for max(ns) nodes; layer j applies the
+    k=ks[j] edge rule restricted to the first ns[j] nodes; the base
+    layer (j=0) contributes every edge, later layers only pairs not
+    already present (:295), each at weight dist·relativeWeights[j] when
+    weighted (:297). The reference's cell-grid is its sequential
+    neighbor-search optimization of the same rule; this engine reuses
+    the self-join + per-source-min plan of the single-layer generator
+    (mocnik above) per layer — identical edge set by construction.
+    Reference ctor assertions reproduced (:311-317)."""
+    if not ns:
+        raise ValueError("ns must be non-empty")
+    if len(ks) != len(ns):
+        raise ValueError("ks and ns must have the same length")
+    if relative_weights is None:
+        relative_weights = [1.0] * len(ns)
+    if len(relative_weights) != len(ns):
+        raise ValueError("relativeWeights and ns must have the same length")
+    if any(n <= 1 for n in ns):
+        raise ValueError("every layer size must be > 1")
+    if any(k <= 1.0 for k in ks):
+        raise ValueError("every k must be > 1")
+
+    pts = mocnik_points(spark, dim, max(ns), seed)
+    out = None
+    for j, (n_j, k_j, rw) in enumerate(zip(ns, ks, relative_weights)):
+        layer_pts = pts.filter(F.col("id") < n_j)
+        a = layer_pts.select(F.col("id").alias("src"),
+                             *[F.col(f"x{d}").alias(f"a{d}") for d in range(dim)])
+        b = layer_pts.select(F.col("id").alias("dst"),
+                             *[F.col(f"x{d}").alias(f"b{d}") for d in range(dim)])
+        sq = sum(
+            ((F.col(f"a{d}") - F.col(f"b{d}")) * (F.col(f"a{d}") - F.col(f"b{d}"))
+             for d in range(dim)),
+            F.lit(0.0),
+        )
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", sq.alias("d2"))
+        )
+        w = Window.partitionBy("src")
+        wcol = (
+            (F.sqrt("d2") * F.lit(float(rw))) if weighted else F.lit(1.0)
+        ).alias("weight")
+        layer = (
+            pairs.withColumn("dmin2", F.min("d2").over(w))
+            .filter(F.col("d2") <= F.lit(float(k_j * k_j)) * F.col("dmin2"))
+            .select("src", "dst", wcol)
+        )
+        if out is None:
+            out = layer
+        else:
+            out = out.unionByName(
+                layer.join(out.select("src", "dst"), ["src", "dst"], "left_anti")
+            )
+    return out
+
+
 def _pubweb_areas(seed: int, num_dense_areas: int):
     """Dense-area (radii, centers) — PubWebGenerator.cpp:103-118 area
     bookkeeping (≤ dozens of values, driver-side seeded draws)."""

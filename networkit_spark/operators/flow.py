@@ -261,3 +261,145 @@ def cut_clustering(graph: Graph, alpha: float) -> DataFrame:
     return spark.createDataFrame(
         [(int(k), int(lb)) for k, lb in labels.items()], "id long, label long"
     )
+
+
+def cut_clustering_hierarchy(graph: Graph) -> dict:
+    """{alpha_lower_bound: labels DataFrame} — the complete CutClustering
+    hierarchy (community/CutClustering.cpp:81-266 getClusterHierarchy /
+    clusterHierarchyRecursion, Flake–Tarjan parametric breakpoint
+    search). Each stored partition is the CutClustering result for every
+    alpha in [key, next_key); key 0 is the connected-components
+    partition, key -1 (disconnected graphs only) the whole-graph
+    cluster, and the largest key maps to the all-singletons partition.
+
+    Semantics reproduced: upper bound = max(2, max edge weight + 1)
+    (:86-91); breakpoint candidate (upperCut − lowerCut)/(lowerSize −
+    upperSize) maximized over the lower cluster's representative and
+    every upper-cluster representative nested inside it (:177-204);
+    epsilon push above the breakpoint so ranges never collide
+    (:206-212); nested-partition comparison by cluster count (:240-246);
+    the lower==middle numerical-degeneracy guard throws (:248-251).
+    Component/whole-graph representatives are the cluster's MIN node id
+    — the reference takes an arbitrary race winner / random node
+    (:101-107, :120-122), any representative is valid; min-id is the
+    engine's deterministic choice.
+
+    Like cut_clustering above this is the reference's own sequential
+    outer schedule (each breakpoint depends on the clusterings found so
+    far) — a pytest-scale driver contract; every min-cut inside the
+    per-breakpoint cut_clustering call runs the DISTRIBUTED
+    Edmonds–Karp, and the number of solves is bounded by the number of
+    distinct clusterings in the hierarchy, not by n."""
+    import sys
+
+    spark = graph.edges.sparkSession
+    eps = sys.float_info.epsilon
+
+    und = (
+        graph.symmetrized_edges()
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+        .collect()
+    )
+    edges = [(int(r["src"]), int(r["dst"]), float(r["weight"])) for r in und]
+    nodes = sorted(int(r["id"]) for r in graph.vertices().collect())
+
+    lower, upper = 0.0, 2.0
+    if graph.weighted and edges:
+        upper = max(upper, max(w for _, _, w in edges)) + 1.0
+
+    # lower bound partition: connected components, min-id representative
+    parent = {u: u for u in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    lower_clusters = {u: find(u) for u in nodes}
+
+    result: dict[float, dict] = {0.0: dict(lower_clusters)}
+    n_components = len(set(lower_clusters.values()))
+    if n_components > 1:
+        rep = nodes[0]
+        result[-1.0] = {u: rep for u in nodes}
+
+    upper_clusters = {u: u for u in nodes}  # allToSingletons
+
+    def cluster_stats(labels):
+        sizes: dict = {}
+        cut: dict = {}
+        for u in nodes:
+            sizes[labels[u]] = sizes.get(labels[u], 0) + 1
+        for u, v, w in edges:
+            if labels[u] != labels[v]:
+                cut[labels[u]] = cut.get(labels[u], 0.0) + w
+                cut[labels[v]] = cut.get(labels[v], 0.0) + w
+        return sizes, cut
+
+    def middle_labels(alpha):
+        rows = cut_clustering(graph, alpha).collect()
+        return {int(r["id"]): int(r["label"]) for r in rows}
+
+    def recursion(lower, lower_clusters, upper, upper_clusters):
+        nonlocal result
+        while True:
+            middle = None
+            lower_sizes, lower_cut = cluster_stats(lower_clusters)
+            upper_sizes, upper_cut = cluster_stats(upper_clusters)
+
+            for lc, lsize in sorted(lower_sizes.items()):
+                if lsize == upper_sizes[upper_clusters[lc]]:
+                    continue
+                upper_size = upper_sizes[upper_clusters[lc]]
+                lower_weight = lower_cut.get(lc, 0.0)
+                upper_weight = upper_cut.get(upper_clusters[lc], 0.0)
+                bp = (upper_weight - lower_weight) / (float(lsize) - upper_size)
+                for u in nodes:
+                    if (
+                        lower_clusters[u] == lc
+                        and upper_clusters[u] == u
+                        and u != lc
+                    ):
+                        tmp = (upper_cut.get(u, 0.0) - lower_weight) / (
+                            float(lsize) - upper_sizes[u]
+                        )
+                        if tmp > bp:
+                            bp = tmp
+                            upper_weight = upper_cut.get(u, 0.0)
+                            upper_size = upper_sizes[u]
+                if bp + eps < upper:
+                    middle = bp + eps
+                    break
+
+            if middle is None:
+                if upper not in result:
+                    result[upper] = dict(upper_clusters)
+                return
+
+            mid = middle_labels(middle)
+            n_mid = len(set(mid.values()))
+            if n_mid == len(lower_sizes):
+                raise RuntimeError(
+                    "Error: Lower clustering is middle clustering, probably "
+                    "numerical inaccuracies caused this"
+                )
+            if n_mid == len(upper_sizes):
+                upper = middle
+                result[upper] = dict(upper_clusters)
+            else:
+                recursion(lower, dict(lower_clusters), middle, dict(mid))
+                lower_clusters = mid
+
+    recursion(lower, dict(lower_clusters), upper, dict(upper_clusters))
+    return {
+        alpha: spark.createDataFrame(
+            [(int(u), int(lb)) for u, lb in labels.items()], "id long, label long"
+        )
+        for alpha, labels in sorted(result.items())
+    }

@@ -107,3 +107,40 @@ def test_pubweb_clustering(spark):  # noqa: F811
     mx = deg.agg(F.max("d")).first()[0]
     assert mx <= 6
     assert deg.count() < 400  # some nodes stay isolated
+
+
+def test_mocnik_layers(spark):  # noqa: F811
+    """Multi-layer Mocnik (MocnikGenerator.cpp generate()): the base
+    layer over ns[0] nodes is exactly the single-layer rule; later
+    layers only contribute pairs not already present; weighted mode
+    scales dist by relativeWeights."""
+    from networkit_spark.generators import mocnik, mocnik_layers
+
+    base = {(r["src"], r["dst"])
+            for r in mocnik(spark, 2, 40, 1.5, seed=9).collect()}
+    multi = mocnik_layers(spark, 2, [40, 25], [1.5, 3.0], seed=9)
+    rows = multi.collect()
+    got = {(r["src"], r["dst"]) for r in rows}
+    # no duplicate pairs, base layer contained verbatim
+    assert len(rows) == len(got)
+    assert base <= got
+    # extra edges all live inside the second layer's node prefix
+    extra = got - base
+    assert extra and all(u < 25 and v < 25 for u, v in extra)
+
+    # weighted: every weight is dist * rw of SOME layer; base-layer pairs
+    # carry rw=1 distances (< sqrt(dim) bound after scaling)
+    wrows = mocnik_layers(spark, 2, [40, 25], [1.5, 3.0],
+                          relative_weights=[1.0, 10.0], weighted=True,
+                          seed=9).collect()
+    wmap = {(r["src"], r["dst"]): r["weight"] for r in wrows}
+    assert set(wmap) == got
+    for (u, v) in base:
+        assert wmap[(u, v)] <= 2.0 ** 0.5  # rw=1, dist inside unit ball
+    assert any(w > 2.0 ** 0.5 for (p, w) in wmap.items() if p in extra)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="same length"):
+        mocnik_layers(spark, 2, [10, 5], [1.5])
+    with _pytest.raises(ValueError, match="k must be > 1"):
+        mocnik_layers(spark, 2, [10], [0.5])
