@@ -161,17 +161,16 @@ def orchestrate():
     edges_path = f"/tmp/scaling_rmat{RMAT_SCALE}x{EDGE_FACTOR}.parquet"
 
     if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        from networkit_spark.generators import rmat
-        from networkit_spark.session import get_spark
-
-        spark = get_spark("scaling_gen", cores=os.cpu_count() or 8,
-                          extra_conf=WORKER_CONF)
-        rm = rmat(spark, scale=RMAT_SCALE, edge_factor=EDGE_FACTOR).dropDuplicates(["src", "dst"])
-        rm.write.mode("overwrite").parquet(edges_path)
-        m = rm.sparkSession.read.parquet(edges_path).count()
-        print(f"input: RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR}, {m} deduped arcs",
-              file=sys.stderr)
-        spark.stop()
+        # run generation in its OWN process: spark.stop() ends the
+        # SparkContext but the py4j gateway JVM lives until the owning
+        # python process exits — an in-process gen step leaves a 32-core
+        # 18-GB-heap JVM GC-churning through every pinned measurement
+        # (observed: 4-core wall 127.7s with the stray JVM vs ~51s
+        # without; the 0.787-vs-0.817 session variance traced to exactly
+        # this, since the gen step only runs when /tmp lost the cache)
+        rc = subprocess.call([sys.executable, __file__, "--gen", edges_path])
+        if rc != 0:
+            raise RuntimeError("input generation failed")
 
     have_taskset = shutil.which("taskset") is not None
 
@@ -345,7 +344,24 @@ Reproduce: `python scripts/scaling_bench.py`
     return summary
 
 
+def generate_input(edges_path: str):
+    from networkit_spark.generators import rmat
+    from networkit_spark.session import get_spark
+
+    spark = get_spark("scaling_gen", cores=os.cpu_count() or 8,
+                      extra_conf=WORKER_CONF)
+    rm = rmat(spark, scale=RMAT_SCALE, edge_factor=EDGE_FACTOR).dropDuplicates(["src", "dst"])
+    rm.write.mode("overwrite").parquet(edges_path)
+    m = rm.sparkSession.read.parquet(edges_path).count()
+    print(f"input: RMAT 2^{RMAT_SCALE}x{EDGE_FACTOR}, {m} deduped arcs",
+          file=sys.stderr)
+    spark.stop()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        generate_input(sys.argv[2])
+        sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
     else:
