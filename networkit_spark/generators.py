@@ -519,6 +519,125 @@ def hyperbolic_edges_from_points(
     )
 
 
+def hyperbolic_soft_edges_from_points(
+    points: DataFrame, R: float, T: float, seed: int = 42,
+    eps_total: float = 1e-3, core_frac: float = 0.6,
+) -> DataFrame:
+    """The T > 0 Fermi–Dirac edge rule over an (id, theta, r) point
+    table: each pair is an edge with probability
+    p(d) = 1/(exp((d − R)/(2T)) + 1) (HyperbolicGenerator.cpp:231-235),
+    realized by a seeded-hash uniform per canonical pair (the engine's
+    RNG substitution — deterministic and SQL-replicable, replacing the
+    quadtree's Aux::Random draws).
+
+    Scale design — the same two-zone blocking as the threshold rule,
+    widened to a TAIL CUTOFF: p decays exponentially past R, so pairs
+    with d > d_cut = R + 2T·ln(n²/(2ε) − 1) carry total expected edge
+    mass < ε (union bound over ≤ n²/2 pairs) and are never enumerated;
+    every enumerated candidate gets the EXACT Bernoulli(p(d)) draw. The
+    reference's quadtree sampler prunes with the same p(distance-bound)
+    upper bounds (QuadNode.hpp getElementsProbabilistically) — adaptive
+    per cell where this cutoff is global, the identical
+    exponential-tail argument. Cost grows with T exactly as the
+    reference's candidate count does (d_cut − R ∝ T·ln n; at T ≳ 1/2
+    the band spans the disk and the rule is inherently near-all-pairs).
+    """
+    import math
+
+    if T < 0:
+        raise ValueError("Temperature cannot be negative.")
+    if T == 0:
+        return hyperbolic_edges_from_points(points, R, core_frac)
+
+    n_est = points.count()
+    d_cut = R + 2.0 * T * math.log(max(n_est * n_est / (2.0 * eps_total) - 1.0, 1.0))
+    cosh_cut = math.cosh(d_cut)
+
+    tau = core_frac * R
+    # periphery angular reach bound at (tau, tau) against the WIDENED
+    # candidate distance d_cut
+    ct = (math.cosh(tau) ** 2 - cosh_cut) / (math.sinh(tau) ** 2)
+    theta_max = math.pi if ct <= -1.0 else (0.0 if ct >= 1.0 else math.acos(ct))
+    n_buckets = max(int(2.0 * math.pi / theta_max) if theta_max > 0 else 1, 1)
+
+    pts = points.select(
+        "id", "theta", "r",
+        F.cosh("r").alias("chr"), F.sinh("r").alias("shr"),
+        F.floor(F.col("theta") / (2.0 * math.pi / n_buckets))
+        .cast("long").alias("bucket"),
+    )
+
+    def _side(df: DataFrame, p: str) -> DataFrame:
+        return df.select(*(F.col(c).alias(p + c) for c in df.columns))
+
+    scale = 1_000_000_000_000
+    beta = 1.0 / T
+
+    def _edges(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        pair = a.join(b, cond)
+        coshd = (
+            F.col("achr") * F.col("bchr")
+            - F.col("ashr") * F.col("bshr")
+            * F.cos(F.col("atheta") - F.col("btheta"))
+        )
+        cand = pair.filter(coshd <= cosh_cut).select(
+            F.least("aid", "bid").alias("src"),
+            F.greatest("aid", "bid").alias("dst"),
+            F.acosh(F.greatest(coshd, F.lit(1.0))).alias("d"),
+        )
+        u = (_h(seed, F.lit("fd"), "src", "dst") % scale) / float(scale)
+        prob = 1.0 / (F.exp(F.lit(beta) * (F.col("d") - R) / 2.0) + 1.0)
+        return cand.filter(u < prob).select("src", "dst")
+
+    core = pts.filter(F.col("r") < tau)
+    peri = pts.filter(F.col("r") >= tau)
+    a = _side(pts, "a")
+    core_b = _side(core, "b")
+    core_pairs = _edges(a, core_b, F.col("aid") != F.col("bid"))
+    pa, pb = _side(peri, "a"), _side(peri, "b")
+    near = (
+        (F.col("abucket") == F.col("bbucket"))
+        | (F.pmod(F.col("abucket") + 1, F.lit(n_buckets)) == F.col("bbucket"))
+        | (F.pmod(F.col("bbucket") + 1, F.lit(n_buckets)) == F.col("abucket"))
+    )
+    peri_pairs = _edges(pa, pb, near & (F.col("aid") < F.col("bid")))
+
+    return (
+        core_pairs.unionByName(peri_pairs)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def hyperbolic_soft(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    gamma: float = 3.0,
+    T: float = 0.1,
+    seed: int = 42,
+    core_frac: float = 0.6,
+    eps_total: float = 1e-3,
+) -> DataFrame:
+    """Random hyperbolic graph at temperature T — the reference's
+    generate(angles, radii, R, T) probabilistic mode
+    (HyperbolicGenerator.cpp:199-257): same point distribution as
+    `hyperbolic`, Fermi–Dirac edge probability instead of the hard
+    threshold. T=0 degenerates to the threshold generator (the
+    reference branches to generateCold identically); T<0 raises with
+    the reference's message."""
+    import math
+
+    if gamma <= 2.0:
+        raise ValueError("gamma must be > 2 (finite mean degree)")
+    alpha = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    pts = hyperbolic_points(spark, n, alpha, R, seed)
+    return hyperbolic_soft_edges_from_points(
+        pts, R, T, seed=seed, eps_total=eps_total, core_frac=core_frac
+    )
+
+
 # ------------------------------------------------- ring lattice / small world
 def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> DataFrame:
     """RegularRingLatticeGenerator.cpp: every node connects to its k

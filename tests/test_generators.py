@@ -188,3 +188,83 @@ def test_hyperbolic_deterministic(spark):
     a = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
     b = sorted(map(tuple, hyperbolic(spark, 200, seed=9).collect()))
     assert a == b
+
+
+def test_hyperbolic_soft_t_zero_equals_threshold(spark):
+    """T=0 must branch to the threshold generator exactly
+    (HyperbolicGenerator.cpp:203-204 generateCold)."""
+    from networkit_spark.generators import hyperbolic, hyperbolic_soft
+
+    a = sorted((r.src, r.dst) for r in hyperbolic(spark, 200, seed=4).collect())
+    b = sorted(
+        (r.src, r.dst)
+        for r in hyperbolic_soft(spark, 200, T=0.0, seed=4).collect()
+    )
+    assert a == b
+
+
+def test_hyperbolic_soft_negative_t_raises(spark):
+    from networkit_spark.generators import hyperbolic_soft
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Temperature cannot be negative"):
+        hyperbolic_soft(spark, 50, T=-0.1)
+
+
+def test_hyperbolic_soft_calibration_and_monotonicity(spark):
+    """Realized edge count matches the Fermi–Dirac expectation over the
+    candidate band (binomial tolerance), sub-threshold pairs DO occur
+    (impossible at T=0), and determinism holds."""
+    import math
+
+    from pyspark.sql import functions as F
+    from networkit_spark.generators import (
+        hyperbolic_points,
+        hyperbolic_soft,
+        hyperbolic_soft_edges_from_points,
+    )
+
+    n, T, seed = 400, 0.2, 11
+    gamma, avg_degree = 3.0, 6.0
+    alpha = (gamma - 1.0) / 2.0
+    R = 2.0 * math.log(8.0 * n / (math.pi * avg_degree))
+    pts = hyperbolic_points(spark, n, alpha, R, seed).collect()
+    coords = {r["id"]: (r["theta"], r["r"]) for r in pts}
+
+    edges = hyperbolic_soft(spark, n, T=T, seed=seed).collect()
+    got = {(r.src, r.dst) for r in edges}
+
+    # brute-force expectation over ALL pairs
+    exp_edges = 0.0
+    var = 0.0
+    long_pairs = 0
+    for i in range(n):
+        ti, ri = coords[i]
+        for j in range(i + 1, n):
+            tj, rj = coords[j]
+            coshd = math.cosh(ri) * math.cosh(rj) - math.sinh(ri) * math.sinh(
+                rj
+            ) * math.cos(ti - tj)
+            d = math.acosh(max(coshd, 1.0))
+            p = 1.0 / (math.exp((d - R) / (2.0 * T)) + 1.0)
+            exp_edges += p
+            var += p * (1.0 - p)
+    sd = math.sqrt(var)
+    assert abs(len(got) - exp_edges) < 5.0 * sd + 1.0
+
+    # some realized edges are LONGER than the threshold R (T>0 feature)
+    for (u, v) in got:
+        tu, ru = coords[u]
+        tv, rv = coords[v]
+        coshd = math.cosh(ru) * math.cosh(rv) - math.sinh(ru) * math.sinh(
+            rv
+        ) * math.cos(tu - tv)
+        if coshd > math.cosh(R):
+            long_pairs += 1
+    assert long_pairs > 0
+
+    again = {
+        (r.src, r.dst)
+        for r in hyperbolic_soft(spark, n, T=T, seed=seed).collect()
+    }
+    assert again == got
