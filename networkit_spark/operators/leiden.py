@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, functions as F
 from networkit_spark.graph import Graph
 from networkit_spark.operators.coarsening import coarsen, prolong
 from networkit_spark.operators.plm import _local_louvain, _move_phase, _node_volumes
+from networkit_spark.plans import local_guard
 from networkit_spark.plans.iterative import truncate
 
 
@@ -213,9 +214,14 @@ def leiden(
     gamma: float = 1.0,
     max_iter: int = 32,
     local_threshold: int = 100_000,
+    local_max_bytes: int = local_guard.DEFAULT_MAX_LOCAL_BYTES,
     _depth: int = 0,
 ) -> LeidenResult:
-    """Deterministic Leiden; labels canonical up to relabeling."""
+    """Deterministic Leiden; labels canonical up to relabeling.
+
+    Driver-local tail engages only under BOTH the arc-count threshold
+    and the `local_max_bytes` estimated-payload cap, and logs when it
+    does (see plans/local_guard.py)."""
     total = graph.total_edge_weight()
     if total <= 0:
         return LeidenResult(
@@ -223,9 +229,17 @@ def leiden(
             levels=1,
         )
 
-    if local_threshold and graph.edges.count() <= local_threshold:
+    m_arcs = graph.edges.count() if local_threshold else None
+    if (
+        local_threshold
+        and m_arcs <= local_threshold
+        and 2 * m_arcs * local_guard.ARC_ROW_BYTES <= local_max_bytes
+    ):
         # driver-local tail: Louvain move + the same single-pass
         # constrained refinement, sequential (reference-style semantics)
+        local_guard.log_local_tail(
+            "leiden", 2 * m_arcs, 2 * m_arcs * local_guard.ARC_ROW_BYTES
+        )
         sym = graph.symmetrized_edges()
         arcs = [(r["src"], r["dst"], r["weight"]) for r in sym.collect()]
         node_ids = [r["id"] for r in graph.vertices().collect()]
@@ -264,7 +278,8 @@ def leiden(
         # connectivity guarantee and contraction monotonicity hold — the
         # move phase can only improve modularity from any start)
         sub = leiden(coarse_graph, gamma=gamma, max_iter=max_iter,
-                     local_threshold=local_threshold, _depth=_depth + 1)
+                     local_threshold=local_threshold,
+                     local_max_bytes=local_max_bytes, _depth=_depth + 1)
         levels += sub.levels
         sweeps.extend(sub.sweeps)
         labels = truncate(prolong(sub.labels, mapping), release=mapping)

@@ -72,13 +72,22 @@ def _landmark_ranks(graph: Graph) -> DataFrame:
 
 
 def _pruned_batch_bfs(
-    arcs: DataFrame, labels: DataFrame, roots: DataFrame
+    arcs: DataFrame,
+    labels_root: DataFrame,
+    labels_node: DataFrame,
+    roots: DataFrame,
 ) -> tuple[DataFrame, list]:
-    """One batched pruned BFS: `roots` = (rank, root); `labels` =
-    committed (id, hub, dist) from previous batches (hub = landmark
-    rank). Returns (this batch's new labels (id, hub, dist), the
-    per-level cached snapshots to unpersist once the union is
-    materialized)."""
+    """One batched pruned BFS: `roots` = (rank, root); the pruning query
+    joins committed previous-batch labels from TWO tables — the root
+    side reads `labels_root` (distances root → hub) and the node side
+    reads `labels_node` (distances hub → node in this BFS's arc
+    orientation). Undirected graphs pass the one label table twice; a
+    directed build MUST pass the opposite index on the root side
+    (d(h→r) + d(h→w) does not bound d(r→w) in a digraph — one-sided
+    pruning over-prunes and breaks query exactness; caught by
+    tests/test_pll.py::test_pll_directed_regression_one_sided_pruning).
+    Returns (this batch's new labels (id, hub, dist), the per-level
+    cached snapshots to unpersist once the union is materialized)."""
     frontier = truncate(
         roots.select("rank", "root", F.col("root").alias("id"),
                      F.lit(0).cast("long").alias("level"))
@@ -91,9 +100,9 @@ def _pruned_batch_bfs(
     level = 0
     while True:
         # prune: committed-labels query(root, id) ≤ level kills the row
-        lr = labels.select(F.col("id").alias("root"), F.col("hub"),
-                           F.col("dist").alias("d1"))
-        lv = labels.select(F.col("id"), F.col("hub"), F.col("dist").alias("d2"))
+        lr = labels_root.select(F.col("id").alias("root"), F.col("hub"),
+                                F.col("dist").alias("d1"))
+        lv = labels_node.select(F.col("id"), F.col("hub"), F.col("dist").alias("d2"))
         q = (
             frontier.filter(F.col("id") != F.col("root"))
             .join(lr, "root")
@@ -147,28 +156,47 @@ def pruned_landmark_labeling(
     fwd = fwd.persist(StorageLevel.MEMORY_AND_DISK)
     fwd.count()
 
-    def _build(arcs: DataFrame) -> DataFrame:
-        spark = arcs.sparkSession
-        labels = truncate(spark.createDataFrame([], "id long, hub long, dist long"))
-        for b0 in range(0, n, batch_size):
-            roots = ranks.filter(
+    spark = fwd.sparkSession
+
+    def _release(snapshots) -> None:
+        for df in snapshots:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def _roots(b0: int) -> DataFrame:
+        return F.broadcast(
+            ranks.filter(
                 (F.col("rank") >= b0) & (F.col("rank") < b0 + batch_size)
             ).select("rank", F.col("id").alias("root"))
-            batch, snapshots = _pruned_batch_bfs(arcs, labels, F.broadcast(roots))
+        )
+
+    if not graph.directed:
+        labels = truncate(spark.createDataFrame([], "id long, hub long, dist long"))
+        for b0 in range(0, n, batch_size):
+            batch, snapshots = _pruned_batch_bfs(fwd, labels, labels, _roots(b0))
             labels = truncate(labels.unionByName(batch), release=labels)
-            for df in snapshots:
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
+            _release(snapshots)
+        fwd.unpersist()
         return labels
 
-    labels_out = _build(fwd)
-    if not graph.directed:
-        fwd.unpersist()
-        return labels_out
+    # Directed: the two indices are built INTERLEAVED batch-by-batch
+    # because each side's pruning query needs the OTHER side's committed
+    # labels on the root leg (the proper directed PLL pruning test
+    # d(r→h) + d(h→w) ≤ level; PrunedLandmarkLabeling.cpp:86-95 runs the
+    # reverse sweep per landmark for the same reason).
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    labels_in = _build(rev)
+    labels_out = truncate(spark.createDataFrame([], "id long, hub long, dist long"))
+    labels_in = truncate(spark.createDataFrame([], "id long, hub long, dist long"))
+    for b0 in range(0, n, batch_size):
+        roots = _roots(b0)
+        batch_out, snaps_f = _pruned_batch_bfs(fwd, labels_in, labels_out, roots)
+        batch_in, snaps_r = _pruned_batch_bfs(rev, labels_out, labels_in, roots)
+        labels_out = truncate(labels_out.unionByName(batch_out), release=labels_out)
+        labels_in = truncate(labels_in.unionByName(batch_in), release=labels_in)
+        _release(snaps_f)
+        _release(snaps_r)
     fwd.unpersist()
     return labels_out, labels_in
 

@@ -71,6 +71,7 @@ from pyspark.storagelevel import StorageLevel
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.coarsening import coarsen, prolong
+from networkit_spark.plans import local_guard
 from networkit_spark.plans.iterative import truncate
 
 
@@ -360,13 +361,28 @@ def plm(
     max_iter: int = 32,
     base_labels: DataFrame | None = None,
     local_threshold: int = 100_000,
+    local_max_bytes: int = local_guard.DEFAULT_MAX_LOCAL_BYTES,
     _depth: int = 0,
 ) -> PLMResult:
     """Multi-level Louvain (PLM.cpp run(), defaults per PLM.hpp:38-39).
     Labels in the result are fine-graph community ids (arbitrary longs,
-    canonical under relabeling like the reference's Partition ids)."""
+    canonical under relabeling like the reference's Partition ids).
+
+    The driver-local tail engages only when the arc count is under
+    `local_threshold` AND the estimated driver payload (2× arcs for the
+    symmetrization, Row overhead included) fits in `local_max_bytes`;
+    otherwise the distributed path runs regardless of row count, and
+    every engagement is logged (networkit_spark.local_tail)."""
     spark = graph.edges.sparkSession
-    if local_threshold and graph.edges.count() <= local_threshold:
+    m_arcs = graph.edges.count() if local_threshold else None
+    if (
+        local_threshold
+        and m_arcs <= local_threshold
+        and 2 * m_arcs * local_guard.ARC_ROW_BYTES <= local_max_bytes
+    ):
+        local_guard.log_local_tail(
+            "plm", 2 * m_arcs, 2 * m_arcs * local_guard.ARC_ROW_BYTES
+        )
         sym = graph.symmetrized_edges()
         arcs = [(r["src"], r["dst"], r["weight"]) for r in sym.collect()]
         node_ids = [r["id"] for r in graph.vertices().collect()]
@@ -430,7 +446,8 @@ def plm(
             _vertices=truncate(coarse_graph.vertices()),
         )
         sub = plm(coarse_graph, refine=False, gamma=gamma, max_iter=max_iter,
-                  local_threshold=local_threshold, _depth=_depth + 1)
+                  local_threshold=local_threshold,
+                  local_max_bytes=local_max_bytes, _depth=_depth + 1)
         levels += sub.levels
         sweeps.extend(sub.sweeps)
         labels = prolong(sub.labels, mapping)

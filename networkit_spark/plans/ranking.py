@@ -46,9 +46,17 @@ def _bucketed(df: DataFrame, order_col: str, num_buckets: int | None) -> DataFra
 
 def _offsets(part: DataFrame, agg_col) -> DataFrame:
     """(_pid, _off) — exclusive prefix of the per-bucket totals.
-    bounded-window: ≤ num_buckets rows, never data-sized."""
+    bounded-window: ≤ num_buckets rows, never data-sized. The partition
+    key is a column-derived constant zero (pmod(_pid, 1)) — it keeps
+    WindowExec from logging its single-partition warning on every rank
+    (the frame IS one tiny partition by design) without being
+    constant-folded out of the partition spec the way a literal is."""
     cnt = part.groupBy("_pid").agg(agg_col.alias("_tot"))
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return cnt.select(
         "_pid", F.coalesce(F.sum("_tot").over(w), F.lit(0)).alias("_off")
     )

@@ -87,6 +87,23 @@ def _undirected_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return _cached(spark, sf_dir, "undirected", build)
 
 
+def _vertex_anchors(g: Graph, ge=(), le=()):
+    """min/max vertex id plus smallest-id ≥ x / largest-id ≤ x anchors,
+    computed in ONE aggregate job. Replaces collecting the full vertex
+    list to the driver for seed/pair selection — identical values (the
+    anchors are functions of the id set), O(1) driver rows at any scale."""
+    aggs = [F.min("id").alias("lo"), F.max("id").alias("hi")]
+    for i, x in enumerate(ge):
+        aggs.append(
+            F.min(F.when(F.col("id") >= x, F.col("id"))).alias(f"ge{i}")
+        )
+    for i, x in enumerate(le):
+        aggs.append(
+            F.max(F.when(F.col("id") <= x, F.col("id"))).alias(f"le{i}")
+        )
+    return g.vertices().agg(*aggs).first()
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _directed_graph(spark, sf_dir)
     und = g.edges.select(
@@ -1843,19 +1860,8 @@ def q_st_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.apsp import bidirectional_bfs
 
     g = _undirected_graph(spark, sf_dir)
-    ids = sorted(r["id"] for r in g.vertices().collect())
-
-    def _min_ge(x):
-        return next(i for i in ids if i >= x)
-
-    def _max_le(x):
-        return next(i for i in reversed(ids) if i <= x)
-
-    pairs = [
-        (ids[0], ids[-1]),
-        (_min_ge(150), _max_le(450)),
-        (_min_ge(300), _max_le(200)),
-    ]
+    a = _vertex_anchors(g, ge=(150, 300), le=(450, 200))
+    pairs = [(a["lo"], a["hi"]), (a["ge0"], a["le0"]), (a["ge1"], a["le1"])]
     rows = []
     for s, t in pairs:
         d = bidirectional_bfs(g, int(s), int(t))
@@ -1882,19 +1888,8 @@ def q_st_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wg = Graph.from_edges(
         wed, directed=False, weighted=True, vertices=g.vertices()
     )
-    ids = sorted(r["id"] for r in g.vertices().collect())
-
-    def _min_ge(x):
-        return next(i for i in ids if i >= x)
-
-    def _max_le(x):
-        return next(i for i in reversed(ids) if i <= x)
-
-    pairs = [
-        (ids[0], ids[-1]),
-        (_min_ge(150), _max_le(450)),
-        (_min_ge(300), _max_le(200)),
-    ]
+    a = _vertex_anchors(g, ge=(150, 300), le=(450, 200))
+    pairs = [(a["lo"], a["hi"]), (a["ge0"], a["le0"]), (a["ge1"], a["le1"])]
     rows = []
     for s, t in pairs:
         d = bidirectional_dijkstra(wg, int(s), int(t))
@@ -1971,6 +1966,48 @@ def q_pll_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"pll_distances": q_pll_distances})
 
 
+def q_dynpll_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynPrunedLandmarkLabeling on the same {id % 3 == 0}-induced
+    subgraph as pll_distances: static index, then ONE insertion batch
+    of two deterministic long-range edges repaired by the resumed
+    pruned BFS (operators/dynpll.py). Queries from the repaired index
+    are exact on the edited graph (DynPrunedLandmarkLabeling.cpp
+    contract), so the oracle is the BFS closure over the edited
+    subgraph."""
+    from networkit_spark.operators.dynpll import (
+        pll_index,
+        pll_index_query,
+        update_pll,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    sub = g.edges.filter((F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0))
+    sv = g.vertices().filter(F.col("id") % 3 == 0)
+    sg = Graph.from_edges(sub, directed=False, vertices=sv)
+    idx = pll_index(sg, batch_size=64)
+    a = sv.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.min(F.when(F.col("id") >= 300, F.col("id"))).alias("mid"),
+    ).first()
+    added = spark.createDataFrame(
+        [(int(a["lo"]), int(a["hi"])), (int(a["lo"]), int(a["mid"]))],
+        "src long, dst long",
+    )
+    _, idx1 = update_pll(sg, idx, added)
+    pairs = (
+        sv.filter(F.col("id") % 30 == 0)
+        .select(F.col("id").alias("s"))
+        .crossJoin(sv.select(F.col("id").alias("t")))
+    )
+    return pll_index_query(idx1, pairs).select(
+        "s", "t", F.col("dist").cast("long").alias("dist")
+    )
+
+
+QUERIES.update({"dynpll_distances": q_dynpll_distances})
+
+
 def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DynBFS updateBatch over the undirected link graph: fresh state
     from the min-id source, then ONE mixed batch (remove every edge
@@ -1981,13 +2018,10 @@ def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.dynsssp import sssp_state, update_sssp
 
     g = _undirected_graph(spark, sf_dir)
-    ids = sorted(r["id"] for r in g.vertices().collect())
-    source = ids[0]
-    p2 = (
-        min(i for i in ids if i >= 200),
-        max(i for i in ids if i <= 400),
-    )
-    pairs = [(min(ids[0], ids[-1]), max(ids[0], ids[-1])),
+    a = _vertex_anchors(g, ge=(200,), le=(400,))
+    source = a["lo"]
+    p2 = (a["ge0"], a["le0"])
+    pairs = [(min(a["lo"], a["hi"]), max(a["lo"], a["hi"])),
              (min(p2), max(p2))]
     added = spark.createDataFrame(pairs, "src long, dst long")
     removed = g.edges.filter(
@@ -2001,6 +2035,33 @@ def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"dynbfs_state": q_dynbfs_state})
+
+
+def q_dynapsp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynAPSP updateBatch over the undirected link graph with an
+    SPSP-style source sample {id % 20 == 0}: fresh (s, t, dist) state,
+    then ONE batch inserting two deterministic long-range edges between
+    sampled sources, repaired by the relational cone algebra
+    (operators/dynapsp.py). Contract (DynAPSP.cpp:157-161): state ==
+    fresh run on the edited graph, so the oracle edits the edge table
+    in SQL and reruns the multi-source BFS closure."""
+    from networkit_spark.operators.dynapsp import apsp_state, update_apsp
+
+    g = _undirected_graph(spark, sf_dir)
+    srcs = g.vertices().filter(F.pmod(F.col("id"), F.lit(20)) == 0)
+    a = srcs.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.min(F.when(F.col("id") >= 300, F.col("id"))).alias("mid"),
+    ).first()
+    pairs = [(int(a["lo"]), int(a["hi"])), (int(a["lo"]), int(a["mid"]))]
+    added = spark.createDataFrame(pairs, "src long, dst long")
+    st = apsp_state(g, sources=srcs.select(F.col("id").alias("s")))
+    _, st2 = update_apsp(g, st, added)
+    return st2.select("s", "t", F.col("dist").cast("long").alias("dist"))
+
+
+QUERIES.update({"dynapsp_state": q_dynapsp_state})
 
 
 def _edge_attr(g) -> DataFrame:

@@ -34,7 +34,7 @@ def read_cover(spark: SparkSession, path: str) -> DataFrame:
     ).filter(~F.col("value").startswith("#"))
     # bounded-window: one sequential text file by definition (the subset
     # index IS the line number)
-    w = Window.orderBy("lineno")
+    w = Window.partitionBy(F.pmod(F.col("lineno"), F.lit(1))).orderBy("lineno")
     numbered = lines.withColumn("c", (F.row_number().over(w) - 1).cast("long"))
     return (
         numbered.select(

@@ -120,7 +120,7 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     # bounded-window: METIS is an inherently sequential single-file text
     # format (line i = node i's adjacency) — order exists only within the
     # one input split, so the global window is the format's own bound.
-    w = Window.orderBy("lineno")
+    w = Window.partitionBy(F.pmod(F.col("lineno"), F.lit(1))).orderBy("lineno")
     numbered = lines.withColumn("rn", F.row_number().over(w))
     header = numbered.filter("rn = 1").select("value").first()["value"].split()
     weighted = len(header) > 2 and header[2] in ("1", "011", "11")
@@ -179,7 +179,7 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
     )
     # bounded-window: the Partition text format is one label per line in
     # file order — a single sequential file by definition.
-    w = Window.orderBy("lineno")
+    w = Window.partitionBy(F.pmod(F.col("lineno"), F.lit(1))).orderBy("lineno")
     return lines.withColumn("rn", F.row_number().over(w)).select(
         (F.col("rn") - 1).cast("long").alias("id"),
         F.col("value").cast("long").alias("label"),

@@ -68,7 +68,7 @@ def read_mtx(spark: SparkSession, path: str) -> Graph:
     # one size line) precedes all data by spec — this is a
     # bounded-window: it only disambiguates that first line, order
     # within the single input split.
-    w = Window.orderBy("lineno")
+    w = Window.partitionBy(F.pmod(F.col("lineno"), F.lit(1))).orderBy("lineno")
     numbered = lines.withColumn("rn", F.row_number().over(w))
     size = numbered.filter("rn = 1").select("value").first()["value"].split()
     n = max(int(size[0]), int(size[1]))

@@ -1,0 +1,107 @@
+"""graph-tool binary + Rutherford-Boeing readers (§2.1 tail):
+round-trips on synthesized fixtures and reference-semantics checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.sources.binformats import (
+    read_graphtool,
+    read_rb,
+    write_graphtool,
+)
+
+
+def _edge_set(g, directed):
+    if directed:
+        return {(r["src"], r["dst"]) for r in g.edges.collect()}
+    return {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in g.symmetrized_edges().collect()
+    }
+
+
+@pytest.mark.parametrize("directed", [False, True])
+@pytest.mark.parametrize("little", [True, False])
+def test_graphtool_roundtrip(spark, tmp_path, directed, little):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    g = Graph.from_pairs(spark, pairs, directed=directed, n=5)  # node 4 isolated
+    path = str(tmp_path / "g.gt")
+    write_graphtool(g, path, little_endian=little)
+    g2 = read_graphtool(spark, path)
+    assert g2.directed == directed
+    assert g2.num_vertices() == 5
+    assert _edge_set(g2, directed) == _edge_set(g, directed)
+
+
+def test_graphtool_width2_ids(spark, tmp_path):
+    # > 255 nodes forces 2-byte adjacency ids (getAdjacencyWidth)
+    pairs = [(i, i + 1) for i in range(299)]
+    g = Graph.from_pairs(spark, pairs, directed=False, n=300)
+    path = str(tmp_path / "wide.gt")
+    write_graphtool(g, path)
+    g2 = read_graphtool(spark, path)
+    assert g2.num_vertices() == 300
+    assert _edge_set(g2, False) == _edge_set(g, False)
+
+
+def test_graphtool_bad_header_raises(spark, tmp_path):
+    path = str(tmp_path / "junk.gt")
+    with open(path, "wb") as fh:
+        fh.write(b"notagraphtoolfile")
+    with pytest.raises(ValueError):
+        read_graphtool(spark, path)
+
+
+def _write_rb(path, fmt, n, pointers, rowindex, values=None):
+    # 1-indexed compressed-column text per RBMatrixReader.cpp
+    with open(path, "w") as fh:
+        fh.write("synthetic fixture\n")
+        fh.write(f"4 1 1 {1 if values else 0}\n")
+        fh.write(f"{fmt} {n} {n} {len(rowindex)}\n")
+        fh.write("(10I8) (10I8) (5E16.8)\n")
+        fh.write(" ".join(str(p + 1) for p in pointers) + "\n")
+        fh.write(" ".join(str(r + 1) for r in rowindex) + "\n")
+        if values:
+            fh.write(" ".join(str(v) for v in values) + "\n")
+
+
+def test_rb_symmetric_pattern(spark, tmp_path):
+    # lower-triangle pattern of a 4-cycle: cols hold rows > col
+    # edges (0,1), (0,3), (1,2), (2,3)
+    path = str(tmp_path / "s.rb")
+    _write_rb(
+        path, "psa", 4,
+        pointers=[0, 2, 3, 4, 4],
+        rowindex=[1, 3, 2, 3],
+    )
+    g = read_rb(spark, path)
+    assert not g.directed and not g.weighted
+    assert _edge_set(g, False) == {(0, 1), (0, 3), (1, 2), (2, 3)}
+
+
+def test_rb_unsymmetric_real(spark, tmp_path):
+    path = str(tmp_path / "u.rb")
+    _write_rb(
+        path, "rua", 3,
+        pointers=[0, 1, 2, 3],
+        rowindex=[1, 2, 0],
+        values=[2.5, 1.5, 4.0],
+    )
+    g = read_rb(spark, path)
+    assert g.directed and g.weighted
+    got = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert got == {(1, 0): 2.5, (2, 1): 1.5, (0, 2): 4.0}
+
+
+def test_rb_rejects_nonsquare_and_badfmt(spark, tmp_path):
+    path = str(tmp_path / "bad.rb")
+    with open(path, "w") as fh:
+        fh.write("t\n4 1 1 0\npsa 3 4 2\n(I) (I)\n1 2 3\n1 2\n")
+    with pytest.raises(ValueError):
+        read_rb(spark, path)
+    path2 = str(tmp_path / "cfmt.rb")
+    with open(path2, "w") as fh:
+        fh.write("t\n4 1 1 0\ncsa 3 3 0\n(I) (I)\n1 1 1 1\n\n")
+    with pytest.raises(ValueError):
+        read_rb(spark, path2)

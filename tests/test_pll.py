@@ -92,3 +92,33 @@ def test_pll_batch_size_invariance(spark):  # noqa: F811
     assert q1 == q2
     # sequential batches prune at least as hard as one giant batch
     assert l1.count() <= l2.count()
+
+
+def test_pll_directed_regression_one_sided_pruning(spark):  # noqa: F811
+    # Found by randomized search (round 3): with one-sided pruning the
+    # directed build over-prunes and query(6, 11) returns 4 instead of
+    # the true 3. The directed build must prune with the OPPOSITE index
+    # on the root leg (d(r->h) + d(h->w) <= level).
+    arcs = [(0, 2), (0, 11), (1, 3), (2, 1), (2, 9), (3, 0), (3, 6),
+            (3, 9), (4, 0), (4, 2), (4, 7), (4, 11), (6, 2), (6, 3),
+            (6, 8), (7, 6), (8, 7), (9, 1), (9, 3), (9, 4), (9, 8),
+            (9, 10), (10, 0), (10, 5), (11, 1), (11, 2), (11, 4),
+            (11, 5), (11, 6), (11, 9)]
+    n = 12
+    g = Graph.from_pairs(spark, arcs, directed=True, n=n)
+    want = _bfs_all(
+        [{"src": u, "dst": v} for u, v in arcs], n, directed=True
+    )
+    labels_out, labels_in = pruned_landmark_labeling(g, batch_size=4)
+    got = {
+        (r["s"], r["t"]): r["dist"]
+        for r in pll_query(
+            labels_in, labels_out,
+            spark.createDataFrame(
+                [(s, t) for s in range(n) for t in range(n)], "s long, t long"
+            ),
+        ).collect()
+    }
+    for s in range(n):
+        for t in range(n):
+            assert got.get((s, t)) == want.get((s, t)), (s, t)
