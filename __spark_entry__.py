@@ -94,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "floyd_warshall_mod7": o.floyd_warshall_sql(),
         "pll_distances": o.pll_distances_sql(),
         "dynpll_distances": o.dynpll_distances_sql(),
+        "dyn_betweenness_one_state": o.dyn_one_state_sql(),
         "dynbfs_state": o.dynbfs_sql(),
         "dynapsp_state": o.dynapsp_sql(),
         "quadrangle_scores": o.quadrangle_sql(),

@@ -236,21 +236,35 @@ def connected_components_twophase(
         """u>v-oriented edge set is a min-rooted star forest ⟺ every u
         appears exactly once AND no u is also some edge's v (no chains).
         Such a star's root v is smaller than all its leaves, i.e. the
-        component minimum — the algorithm's fixed point."""
+        component minimum — the algorithm's fixed point. ONE aggregation
+        job: tag each endpoint occurrence with its side, group by node,
+        count violations (duplicate u, or a node on both sides)."""
         if n_e == 0:
             return True
-        if e.select("u").distinct().count() != n_e:
-            return False
-        return (
-            e.join(e.select(F.col("v").alias("u")), "u", "left_semi")
+        occ = e.select(
+            F.col("u").alias("x"), F.lit(1).alias("cu"), F.lit(0).alias("cv")
+        ).unionByName(
+            e.select(F.col("v").alias("x"), F.lit(0).alias("cu"), F.lit(1).alias("cv"))
+        )
+        bad = (
+            occ.groupBy("x")
+            .agg(F.sum("cu").alias("cu"), F.sum("cv").alias("cv"))
+            .filter((F.col("cu") > 1) | ((F.col("cu") > 0) & (F.col("cv") > 0)))
             .limit(1)
             .count()
-            == 0
         )
+        return bad == 0
 
     rounds = 0
+    prev_n = -1
     history: list[dict] = []
-    while rounds < max_rounds and not _is_star_forest(edges, n_edges):
+    # The star-forest check only RUNS once the edge count has stabilized
+    # (n_edges == prev_n): the count is constant at the fixed point, so
+    # termination is unchanged, and the early rounds — where the edge
+    # set is still contracting — skip the check's shuffle entirely.
+    while rounds < max_rounds and n_edges > 0 and not (
+        n_edges == prev_n and _is_star_forest(edges, n_edges)
+    ):
         arcs = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -259,7 +273,7 @@ def connected_components_twophase(
         n_new = new_edges.count()
         history.append({"iteration": rounds, "edges": int(n_new)})
         edges.unpersist()
-        edges, n_edges = new_edges, n_new
+        edges, n_edges, prev_n = new_edges, n_new, n_edges
 
     labels = (
         graph.vertices()

@@ -96,9 +96,18 @@ def label_propagation(
     checkpointer: Checkpointer | None = None,
     resume: bool = False,
     use_active_set: bool = True,
+    checkpoint_every: int = 1,
 ) -> PLPResult:
     """Synchronous PLP. use_active_set=False forces a full sweep every
-    superstep (identical labels; used by the SQL-oracle-mirrored queries)."""
+    superstep (identical labels; used by the SQL-oracle-mirrored queries).
+
+    checkpoint_every fuses that many FIXED-MODE sweeps (threshold < 0,
+    no active set — the mode with no per-sweep convergence read) into
+    one Spark job before materializing, like pagerank_fixed: identical
+    labels, one job + one lineage truncation instead of one per sweep.
+    Each unfused sweep references the previous state twice (message agg
+    + merge join), so plan size grows ~2^k with the fusion depth — keep
+    it ≤ ~4; values > 4 are clamped."""
     spark = graph.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, None, algorithm="plp")
     # Self-loops participate in the label weighing (reference forNeighborsOf
@@ -164,6 +173,18 @@ def label_propagation(
             merged = merged.withColumn("active", F.lit(True))
 
         iterations += 1
+        fused = (
+            threshold < 0
+            and not use_active_set
+            and iterations % max(1, min(checkpoint_every, 4)) != 0
+            and iterations < max_iterations
+        )
+        if fused:
+            # Fixed-mode fusion: defer materialization, let the next
+            # sweep stack onto this one's plan (same labels, fewer jobs).
+            history.append({"iteration": iterations, "updated": None})
+            state = merged
+            continue
         snap = ckpt.save(merged, iterations, None)
         if threshold < 0:
             # Fixed-iteration mode: the loop never stops on the update
@@ -189,5 +210,6 @@ def label_propagation_fixed(graph: Graph, n_iter: int) -> DataFrame:
         update_threshold=-1,  # never stop on threshold
         max_iterations=n_iter,
         use_active_set=False,
+        checkpoint_every=n_iter,  # fuse the whole fixed run (clamped to 4)
     )
     return res.labels

@@ -1270,6 +1270,74 @@ SELECT s, id AS t, dist FROM dists
 """
 
 
+def dyn_one_state_sql(
+    sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
+) -> str:
+    """Exact twin of queries.q_dyn_betweenness_one_state: the repaired
+    DynBetweennessOneNode state equals a fresh run on the edited graph,
+    so the oracle reruns the multi-source BFS WITH path counts on the
+    SQL-edited {id % sub_mod == 0} subgraph and derives sigmax by the
+    same closed-form x-decomposition (x = the smallest sampled source;
+    every s→t shortest path through x splits uniquely at x)."""
+    parts = [
+        f"sv AS MATERIALIZED (SELECT id FROM v WHERE id % {sub_mod} = 0)",
+        f"""addp AS (
+  SELECT (SELECT MIN(id) FROM sv) AS u, (SELECT MAX(id) FROM sv) AS v
+  UNION ALL
+  SELECT (SELECT MIN(id) FROM sv) AS u,
+         (SELECT MIN(id) FROM sv WHERE id >= 300) AS v)""",
+        f"""ssym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM sym
+    WHERE src % {sub_mod} = 0 AND dst % {sub_mod} = 0
+    UNION ALL SELECT u AS src, v AS dst FROM addp
+    UNION ALL SELECT v AS src, u AS dst FROM addp) WHERE src <> dst)""",
+        f"f0 AS MATERIALIZED (SELECT id AS s, id FROM sv WHERE id % {src_mod} = 0)",
+        "vis0 AS MATERIALIZED (SELECT s, id FROM f0)",
+        "np0 AS MATERIALIZED (SELECT s, id, CAST(1 AS HUGEINT) AS np FROM f0)",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.s, e.dst AS id FROM f{k - 1} f JOIN ssym e ON f.id = e.src
+  EXCEPT SELECT s, id FROM vis{k - 1})"""
+        )
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT s, id FROM vis{k - 1} UNION ALL SELECT s, id FROM f{k})"
+        )
+        parts.append(
+            f"""np{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS id, SUM(p.np) AS np
+  FROM f{k - 1} f JOIN ssym e ON f.id = e.src
+  JOIN np{k - 1} p ON p.s = f.s AND p.id = f.id
+  JOIN f{k} t ON t.s = f.s AND t.id = e.dst
+  GROUP BY f.s, e.dst)"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT s, id AS t, CAST({k} AS DOUBLE) AS dist, np FROM np{k}"
+        for k in range(0, max_depth + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED ({levels})")
+    parts.append(
+        f"xx AS (SELECT MIN(id) AS x FROM sv WHERE id % {src_mod} = 0)"
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {EDGES_CTE},
+{joined}
+SELECT d.s, d.t, d.dist,
+       CAST(d.np AS DOUBLE) AS sigma,
+       CAST(CASE WHEN d.s = xx.x OR d.t = xx.x THEN d.np
+                 WHEN sx.np IS NOT NULL AND xt.np IS NOT NULL
+                      AND sx.dist + xt.dist = d.dist THEN sx.np * xt.np
+                 ELSE 0 END AS DOUBLE) AS sigmax
+FROM sig d
+CROSS JOIN xx
+LEFT JOIN sig sx ON sx.s = d.s AND sx.t = xx.x
+LEFT JOIN sig xt ON xt.s = xx.x AND xt.t = d.t
+"""
+
+
 def pll_distances_sql(
     sub_mod: int = 3, src_mod: int = 30, max_depth: int = 24
 ) -> str:

@@ -2008,6 +2008,46 @@ def q_dynpll_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"dynpll_distances": q_dynpll_distances})
 
 
+def q_dyn_betweenness_one_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynBetweennessOneNode on the {id % 3 == 0}-induced subgraph:
+    fresh (dist, sigma, sigmax) state for tracked node x = the smallest
+    {id % 30 == 0} vertex, repaired through the same two-edge insertion
+    batch as dynpll_distances, sliced to sampled sources. Contract
+    (DynBetweennessOneNode.cpp updateBatch): state == fresh run on the
+    edited graph — the oracle reruns the σ-BFS + x-decomposition in
+    SQL."""
+    from networkit_spark.operators.dynbetweenness_one import (
+        one_node_state,
+        update_one_node,
+    )
+
+    g = _undirected_graph(spark, sf_dir)
+    sub = g.edges.filter((F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0))
+    sv = g.vertices().filter(F.col("id") % 3 == 0)
+    sg = Graph.from_edges(sub, directed=False, vertices=sv)
+    a = sv.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.min(F.when(F.col("id") >= 300, F.col("id"))).alias("mid"),
+        F.min(F.when(F.col("id") % 30 == 0, F.col("id"))).alias("x"),
+    ).first()
+    x = int(a["x"])
+    st = one_node_state(sg, x)
+    added = spark.createDataFrame(
+        [(int(a["lo"]), int(a["hi"])), (int(a["lo"]), int(a["mid"]))],
+        "src long, dst long",
+    )
+    _, st1 = update_one_node(sg, st, x, added)
+    return st1.filter(F.col("s") % 30 == 0).select(
+        "s", "t", "dist", "sigma", "sigmax"
+    )
+
+
+QUERIES.update(
+    {"dyn_betweenness_one_state": q_dyn_betweenness_one_state}
+)
+
+
 def q_dynbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DynBFS updateBatch over the undirected link graph: fresh state
     from the min-id source, then ONE mixed batch (remove every edge
