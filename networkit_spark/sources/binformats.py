@@ -203,3 +203,223 @@ def read_rb(spark: SparkSession, path: str) -> Graph:
         weighted=not pattern_only,
         vertices=spark.range(n_cols).select("id"),
     )
+
+
+# ---------------------------------------------------------------- Thrill
+# Reference: networkit/cpp/io/ThrillGraphBinaryReader.cpp:10-98 — per
+# node u (0-based, concatenated across input files): varint64 degree
+# (7-bit groups, high bit = continue, :24-44), then degree × uint32
+# little-endian neighbor ids; half-edges are listed from the smaller
+# endpoint (writer keeps v with u <= v, ThrillGraphBinaryWriter.cpp:30);
+# a neighbor id ≥ the node count throws (:90-93). Undirected output.
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    v = 0
+    for shift in range(0, 64, 7):
+        u = buf[off]
+        off += 1
+        if shift == 63 and (u & 0xFE):
+            raise OverflowError("Overflow during variant64 decoding.")
+        v |= (u & 0x7F) << shift
+        if not (u & 0x80):
+            return v, off
+    return v, off
+
+
+def read_thrill(spark: SparkSession, paths, n: int = 0) -> Graph:
+    """ThrillGraphBinaryReader.read: one or many files, concatenated."""
+    if isinstance(paths, str):
+        paths = [paths]
+    buf = b"".join(open(p, "rb").read() for p in paths)
+    off = 0
+    u = 0
+    max_id = -1
+    srcs: list[int] = []
+    dsts: list[int] = []
+    while off < len(buf):
+        deg, off = _read_varint(buf, off)
+        if deg:
+            nbrs = np.frombuffer(buf, dtype="<u4", count=deg, offset=off)
+            off += 4 * deg
+            max_id = max(max_id, int(nbrs.max()))
+            srcs.extend([u] * deg)
+            dsts.extend(int(x) for x in nbrs)
+        u += 1
+    n_final = max(n, u)
+    if max_id >= n_final:
+        raise ValueError(
+            "Maximum read node id larger than number of nodes read."
+        )
+    edges = (
+        spark.createDataFrame(
+            list(zip(srcs, dsts)), "src long, dst long"
+        ).withColumn("weight", F.lit(1.0))
+        if srcs
+        else spark.createDataFrame([], "src long, dst long, weight double")
+    )
+    return Graph.from_edges(
+        edges, directed=False, vertices=spark.range(n_final).select("id")
+    )
+
+
+def write_thrill(graph: Graph, path: str) -> None:
+    """ThrillGraphBinaryWriter.write: varint degree + u32-LE neighbors,
+    half-edges from the smaller endpoint (u <= v). Driver-side exchange
+    sink (documented policy); > 2^32-1 nodes raises like the
+    reference."""
+    ids = sorted(r["id"] for r in graph.vertices().collect())
+    if ids and ids[-1] >= (1 << 32) - 1:
+        raise ValueError(
+            "Thrill binary graphs only support graphs with up to 2^32-1 nodes."
+        )
+    n = (ids[-1] + 1) if ids else 0
+    adj: dict[int, list[int]] = {u: [] for u in range(n)}
+    for r in graph.symmetrized_edges().select("src", "dst").collect():
+        u, v = r["src"], r["dst"]
+        if u <= v:
+            adj[u].append(v)
+    with open(path, "wb") as fh:
+        for u in range(n):
+            nbrs = sorted(adj.get(u, ()))
+            deg = len(nbrs)
+            if not deg:
+                fh.write(bytes([0]))
+            while deg:
+                b = deg & 0x7F
+                deg >>= 7
+                fh.write(bytes([b | (0x80 if deg else 0)]))
+            for v in nbrs:
+                fh.write(struct.pack("<I", v))
+
+
+# ------------------------------------------------------ binary partitions
+# Reference: networkit/cpp/io/BinaryPartitionReader.cpp (fixed-width
+# little-endian label per line position; width 4 or 8 only, file length
+# must divide evenly) and BinaryEdgeListPartitionReader.cpp ((node,
+# label) pairs, firstNode offset subtracted, every element 0..max set
+# exactly once or throw).
+
+
+def read_binary_partition(spark: SparkSession, path: str, width: int = 4):
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    buf = open(path, "rb").read()
+    if len(buf) % width:
+        raise ValueError(
+            "length of partition file must be a multiple of the width."
+        )
+    labels = np.frombuffer(buf, dtype=f"<u{width}").astype("int64")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(len(labels), dtype="int64"),
+                      "label": labels})
+    )
+
+
+def write_binary_partition(partition, path: str, width: int = 4) -> None:
+    """partition: DataFrame (id, label). Driver-side exchange sink."""
+    if width not in (4, 8):
+        raise ValueError("Only width 4 and 8 are supported")
+    rows = sorted(
+        (r["id"], r["label"]) for r in partition.select("id", "label").collect()
+    )
+    labs = np.array([p for _, p in rows], dtype="int64")
+    if width == 4 and labs.size and labs.max() >= 1 << 32:
+        raise ValueError("label does not fit width 4; use width 8")
+    with open(path, "wb") as fh:
+        fh.write(labs.astype(f"<u{width}").tobytes())
+
+
+def read_binary_edgelist_partition(
+    spark: SparkSession, paths, first_node: int = 0, width: int = 4
+):
+    if width not in (4, 8):
+        raise ValueError("Error: width must be 4 or 8")
+    if isinstance(paths, str):
+        paths = [paths]
+    buf = b"".join(open(p, "rb").read() for p in paths)
+    pairs = np.frombuffer(buf, dtype=f"<u{width}").astype("int64")
+    if pairs.size % 2:
+        raise ValueError("truncated (node, label) pair")
+    us, ps = pairs[0::2], pairs[1::2]
+    if us.size and us.min() < first_node:
+        raise ValueError("Error: node smaller than the given firstNode found!")
+    us = us - first_node
+    n_elems = int(us.max()) + 1 if us.size else 0
+    if us.size < n_elems:
+        raise ValueError(
+            "Error, read less values than there are elements in the partition."
+        )
+    if us.size > n_elems:
+        raise ValueError(
+            "Error, read more values than there are elements in the partition."
+        )
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"id": us, "label": ps}))
+
+
+def write_binary_edgelist_partition(
+    partition, path: str, first_node: int = 0, width: int = 4
+) -> None:
+    if width not in (4, 8):
+        raise ValueError("Width must be 4 or 8")
+    rows = sorted(
+        (r["id"], r["label"]) for r in partition.select("id", "label").collect()
+    )
+    flat = np.array(
+        [x for u, p in rows for x in (u + first_node, p)], dtype="int64"
+    )
+    if width == 4 and flat.size and flat.max() >= 1 << 32:
+        raise ValueError("value does not fit width 4; use width 8")
+    with open(path, "wb") as fh:
+        fh.write(flat.astype(f"<u{width}").tobytes())
+
+
+# ----------------------------------------------------------------- raster
+def read_raster(
+    spark: SparkSession, path: str, normalization_factor: float = 1.0,
+    seed: int = 1,
+):
+    """RasterReader.cpp:19-106 — ESRI ASCII population raster → 2D point
+    cloud: round(value × normalization_factor) points per cell, each
+    uniform in the cell's UNIT square (xdelta = ydelta = 1.0 per the
+    reference, :52-53): x ∈ [col, col+1], y ∈ [-row, 1-row]. The
+    reference draws from its global RNG; this engine uses seeded
+    xxhash64 unit draws per (row, col, i) — deterministic, documented
+    substitution (same distribution). Header/grid parse is driver-side
+    (small text fixtures); the point cloud is generated DISTRIBUTED
+    (cells → sequence explode → hash draws), so a dense raster never
+    materializes points on the driver. Returns DataFrame (x, y)."""
+    with open(path) as fh:
+        ncols = int(float(fh.readline().split()[1]))
+        nrows = int(float(fh.readline().split()[1]))
+        for _ in range(4):
+            fh.readline()
+        cells = []
+        for row in range(nrows):
+            vals = fh.readline().split()
+            for col in range(ncols):
+                # std::round = half away from zero (Python round() banks)
+                npts = int(np.floor(float(vals[col]) * normalization_factor + 0.5))
+                if npts > 0:
+                    cells.append((row, col, npts))
+    if not cells:
+        return spark.createDataFrame([], "x double, y double")
+    cdf = spark.createDataFrame(cells, "row long, col long, npts long")
+    denom = float(1 << 53)
+    pts = cdf.select(
+        "row", "col",
+        F.explode(F.sequence(F.lit(1), F.col("npts"))).alias("i"),
+    )
+
+    def unit(salt: int):
+        h = F.xxhash64("row", "col", "i", F.lit(seed), F.lit(salt))
+        return (F.pmod(h, F.lit(1 << 53)).cast("double")) / F.lit(denom)
+
+    return pts.select(
+        (F.col("col") + unit(0)).alias("x"),
+        (F.lit(1.0) - F.col("row") - 1.0 + unit(1)).alias("y"),
+    )

@@ -105,3 +105,126 @@ def test_rb_rejects_nonsquare_and_badfmt(spark, tmp_path):
         fh.write("t\n4 1 1 0\ncsa 3 3 0\n(I) (I)\n1 1 1 1\n\n")
     with pytest.raises(ValueError):
         read_rb(spark, path2)
+
+
+# ---------------------------------------------------------------- Thrill
+def test_thrill_roundtrip(spark, tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 1)]  # incl. self-loop
+    g = Graph.from_pairs(spark, pairs, directed=False, n=5)
+    path = str(tmp_path / "g.thrill")
+    from networkit_spark.sources.binformats import read_thrill, write_thrill
+
+    write_thrill(g, path)
+    g2 = read_thrill(spark, path, n=5)
+    assert g2.num_vertices() == 5
+    assert _edge_set(g2, False) == _edge_set(g, False)
+
+
+def test_thrill_multifile_and_id_check(spark, tmp_path):
+    from networkit_spark.sources.binformats import read_thrill, write_thrill
+
+    pairs = [(i, i + 1) for i in range(6)]
+    g = Graph.from_pairs(spark, pairs, directed=False, n=7)
+    whole = str(tmp_path / "w.thrill")
+    write_thrill(g, whole)
+    buf = open(whole, "rb").read()
+    # split at a record boundary: first node's record is 1 varint byte +
+    # one u32 (degree 1: half-edge 0->1)
+    p1, p2 = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    open(p1, "wb").write(buf[:5])
+    open(p2, "wb").write(buf[5:])
+    g2 = read_thrill(spark, [p1, p2])
+    assert _edge_set(g2, False) == _edge_set(g, False)
+
+    with pytest.raises(ValueError):
+        # claim fewer nodes than the max referenced id
+        bad = str(tmp_path / "bad.bin")
+        open(bad, "wb").write(bytes([1]) + (99).to_bytes(4, "little"))
+        read_thrill(spark, bad)
+
+
+# --------------------------------------------------- binary partitions
+@pytest.mark.parametrize("width", [4, 8])
+def test_binary_partition_roundtrip(spark, tmp_path, width):
+    from networkit_spark.sources.binformats import (
+        read_binary_partition,
+        write_binary_partition,
+    )
+
+    part = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 9), (3, 0)], "id long, label long"
+    )
+    path = str(tmp_path / f"p{width}.bin")
+    write_binary_partition(part, path, width=width)
+    got = {
+        (r["id"], r["label"])
+        for r in read_binary_partition(spark, path, width=width).collect()
+    }
+    assert got == {(0, 5), (1, 5), (2, 9), (3, 0)}
+
+
+def test_binary_partition_bad_length(spark, tmp_path):
+    from networkit_spark.sources.binformats import read_binary_partition
+
+    path = str(tmp_path / "bad.bin")
+    open(path, "wb").write(b"\x01\x02\x03")  # not a multiple of 4
+    with pytest.raises(ValueError):
+        read_binary_partition(spark, path, width=4)
+
+
+def test_binary_edgelist_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.binformats import (
+        read_binary_edgelist_partition,
+        write_binary_edgelist_partition,
+    )
+
+    part = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 7)], "id long, label long"
+    )
+    path = str(tmp_path / "elp.bin")
+    write_binary_edgelist_partition(part, path, first_node=10, width=4)
+    got = {
+        (r["id"], r["label"])
+        for r in read_binary_edgelist_partition(
+            spark, path, first_node=10, width=4
+        ).collect()
+    }
+    assert got == {(0, 2), (1, 2), (2, 7)}
+    # firstNode violation raises
+    with pytest.raises(ValueError):
+        read_binary_edgelist_partition(spark, path, first_node=11, width=4)
+
+
+# ----------------------------------------------------------------- raster
+def test_raster_points(spark, tmp_path):
+    from networkit_spark.sources.binformats import read_raster
+
+    path = str(tmp_path / "r.asc")
+    with open(path, "w") as fh:
+        fh.write("ncols         3\n")
+        fh.write("nrows         2\n")
+        fh.write("xllcorner     0\n")
+        fh.write("yllcorner     0\n")
+        fh.write("cellsize      1\n")
+        fh.write("NODATA_value  -9999\n")
+        fh.write("2 0 1\n")
+        fh.write("0 3 0\n")
+    pts = read_raster(spark, path, normalization_factor=1.0, seed=7)
+    rows = pts.collect()
+    assert len(rows) == 6  # 2 + 1 + 3 points
+    # each point inside its cell's unit square; row 0 -> y in [0,1],
+    # row 1 -> y in [-1,0]
+    in_cell = {(0, 0): 0, (0, 2): 0, (1, 1): 0}
+    for r in rows:
+        col = int(np.floor(r["x"]))
+        row = int(np.floor(1.0 - r["y"] - 1e-12))
+        assert (row, col) in in_cell, (r["x"], r["y"])
+        in_cell[(row, col)] += 1
+    assert in_cell == {(0, 0): 2, (0, 2): 1, (1, 1): 3}
+    # deterministic under the seed
+    again = {(round(r["x"], 12), round(r["y"], 12)) for r in
+             read_raster(spark, path, normalization_factor=1.0, seed=7).collect()}
+    assert {(round(r["x"], 12), round(r["y"], 12)) for r in rows} == again
+
+
+import numpy as np  # noqa: E402
