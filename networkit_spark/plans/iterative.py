@@ -54,7 +54,23 @@ def truncate(df: DataFrame, release: DataFrame | None = None) -> DataFrame:
     accumulates one copy per superstep).
     """
     out = df.localCheckpoint(eager=True).persist()
-    out.count()
+    try:
+        out.count()
+    except Exception as e:  # noqa: BLE001
+        # Spark cache-canonicalization bug: persisting a checkpoint whose
+        # lineage contains certain ALREADY-CACHED relations can fail the
+        # CacheManager plan match with "java.util.NoSuchElementException:
+        # key not found: <attr>". The checkpoint itself is fine (eager —
+        # already materialized); drop the persist and return the bare
+        # checkpointed frame (stats are the checkpoint's estimate, which
+        # is accurate: it IS the materialized relation).
+        if "key not found" not in str(e):
+            raise
+        try:
+            out.unpersist()
+        except Exception:
+            pass
+        out = df.localCheckpoint(eager=True)
     if release is not None:
         try:
             release.unpersist()
