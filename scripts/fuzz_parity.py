@@ -1,0 +1,485 @@
+"""Randomized differential fuzzing of engine operators against pure-
+Python oracles — the harness class that caught the round-3 directed-PLL
+over-pruning bug (many seeds × many shapes, instead of the test suite's
+fixed fixtures).
+
+Usage: python scripts/fuzz_parity.py [n_trials] [op ...]
+Ops: scc fw betweenness bidij pll dynsssp msf
+Prints one line per mismatch and a final summary; exit 1 on any.
+"""
+
+from __future__ import annotations
+
+import heapq
+import random
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.session import get_spark
+
+
+# ---------------------------------------------------------------- oracles
+def tarjan_scc(n, arcs):
+    adj = {}
+    for u, v in arcs:
+        adj.setdefault(u, []).append(v)
+    idx = {}
+    low = {}
+    on = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, i = work.pop()
+            if i == 0:
+                idx[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            for j in range(i, len(adj.get(v, ()))):
+                w = adj[v][j]
+                if w not in idx:
+                    work.append((v, j + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], idx[w])
+            if not recurse:
+                for w in adj.get(v, ()):
+                    if w in idx and w in on and idx[w] < idx[v]:
+                        pass
+                # recompute low from children handled below
+                if work and work[-1][1] > 0:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == idx[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    mn = min(comp)
+                    for w in comp:
+                        out[w] = mn
+
+    for v in range(n):
+        if v not in idx:
+            strong(v)
+    return out
+
+
+def floyd_py(n, arcs):
+    INF = float("inf")
+    d = [[INF] * n for _ in range(n)]
+    for i in range(n):
+        d[i][i] = 0.0
+    for u, v, w in arcs:
+        d[u][v] = min(d[u][v], w)
+    for k in range(n):
+        for i in range(n):
+            dik = d[i][k]
+            if dik == INF:
+                continue
+            for j in range(n):
+                nd = dik + d[k][j]
+                if nd < d[i][j]:
+                    d[i][j] = nd
+    neg = [i for i in range(n) if d[i][i] < 0]
+    return d, neg
+
+
+def brandes_py(n, edges, directed):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        if not directed:
+            adj.setdefault(v, []).append(u)
+    bc = {v: 0.0 for v in range(n)}
+    for s in range(n):
+        S = []
+        P = {v: [] for v in range(n)}
+        sigma = {v: 0.0 for v in range(n)}
+        sigma[s] = 1.0
+        d = {v: -1 for v in range(n)}
+        d[s] = 0
+        Q = [s]
+        while Q:
+            v = Q.pop(0)
+            S.append(v)
+            for w in adj.get(v, ()):
+                if d[w] < 0:
+                    Q.append(w)
+                    d[w] = d[v] + 1
+                if d[w] == d[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = {v: 0.0 for v in range(n)}
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    # NetworKit reports ordered-pair betweenness (no undirected halving)
+    return bc
+
+
+def dijkstra_py(adj, s, t):
+    dist = {s: 0.0}
+    pq = [(0.0, s)]
+    done = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in done:
+            continue
+        done.add(u)
+        if u == t:
+            return d
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if v not in dist or nd < dist[v] - 1e-12:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist.get(t)
+
+
+def kruskal_total(n, arcs):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0.0
+    for w, u, v in sorted((w, u, v) for u, v, w in arcs):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            total += w
+    return round(total, 9)
+
+
+# ----------------------------------------------------------------- checks
+def canon(lab):
+    seen = {}
+    out = {}
+    for k in sorted(lab):
+        out[k] = seen.setdefault(lab[k], len(seen))
+    return out
+
+
+def check_scc(spark, rng):
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    n = rng.randint(5, 18)
+    arcs = [(u, v) for u in range(n) for v in range(n)
+            if u != v and rng.random() < rng.uniform(0.05, 0.3)]
+    g = Graph.from_pairs(spark, arcs, directed=True, n=n)
+    got = {r["id"]: r["label"] for r in strongly_connected_components(g).labels.collect()}
+    want = tarjan_scc(n, arcs)
+    assert canon(got) == canon(want), (n, arcs)
+
+
+def check_fw(spark, rng):
+    from networkit_spark.operators.floydwarshall import floyd_warshall
+
+    n = rng.randint(4, 10)
+    arcs = [
+        (u, v, float(rng.randint(-2, 8)))
+        for u in range(n) for v in range(n)
+        if u != v and rng.random() < 0.25
+    ]
+    g = Graph.from_pairs(spark, arcs, directed=True, n=n, weighted=True)
+    d_py, neg = floyd_py(n, arcs)
+    dists, _negdf = floyd_warshall(g)
+    got = {(r["u"], r["v"]): r["dist"] for r in dists.collect()}
+    if neg:
+        return  # negative-cycle tagging semantics differ from plain FW; covered by unit tests
+    for s in range(n):
+        for t in range(n):
+            exp = d_py[s][t]
+            if exp == float("inf"):
+                assert (s, t) not in got or got[(s, t)] == float("inf"), (s, t, arcs)
+            else:
+                assert abs(got.get((s, t), float("inf")) - exp) < 1e-9, (s, t, got.get((s, t)), exp, arcs)
+
+
+def check_betweenness(spark, rng):
+    from networkit_spark.operators.betweenness import betweenness_centrality
+
+    n = rng.randint(5, 14)
+    directed = rng.random() < 0.5
+    if directed:
+        edges = [(u, v) for u in range(n) for v in range(n)
+                 if u != v and rng.random() < 0.15]
+    else:
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < 0.2]
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    got = {r["id"]: r["score"] for r in betweenness_centrality(g).collect()}
+    want = brandes_py(n, edges, directed)
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - want[v]) < 1e-9, (v, got.get(v), want[v], directed, edges)
+
+
+def check_bidij(spark, rng):
+    from networkit_spark.operators.apsp import bidirectional_dijkstra
+
+    n = rng.randint(6, 16)
+    directed = rng.random() < 0.5
+    arcs = [
+        (u, v, rng.randint(1, 9) / 2.0)
+        for u in range(n) for v in range(n)
+        if u != v and rng.random() < 0.15
+    ]
+    adj = {}
+    for u, v, w in arcs:
+        adj.setdefault(u, []).append((v, w))
+        if not directed:
+            adj.setdefault(v, []).append((u, w))
+    g = Graph.from_pairs(spark, arcs, directed=directed, n=n, weighted=True)
+    s, t = rng.randrange(n), rng.randrange(n)
+    got = bidirectional_dijkstra(g, s, t)
+    want = dijkstra_py(adj, s, t) if s != t else 0.0
+    if want is None:
+        assert got is None, (s, t, got, directed, arcs)
+    else:
+        assert got is not None and abs(got - want) < 1e-9, (s, t, got, want, directed, arcs)
+
+
+def check_pll(spark, rng):
+    from networkit_spark.operators.pll import pll_query, pruned_landmark_labeling
+
+    n = rng.randint(6, 14)
+    directed = rng.random() < 0.5
+    if directed:
+        edges = [(u, v) for u in range(n) for v in range(n)
+                 if u != v and rng.random() < 0.18]
+    else:
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < 0.25]
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    bs = rng.choice([1, 3, 8])
+    built = pruned_landmark_labeling(g, batch_size=bs)
+    if directed:
+        lo, li = built
+    else:
+        lo = li = built
+    pairs = spark.createDataFrame(
+        [(s, t) for s in range(n) for t in range(n)], "s long, t long"
+    )
+    got = {(r["s"], r["t"]): r["dist"] for r in pll_query(li, lo, pairs).collect()}
+    # python BFS truth
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        if not directed:
+            adj.setdefault(v, []).append(u)
+    for s in range(n):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        for t in range(n):
+            assert got.get((s, t)) == d.get(t), (s, t, got.get((s, t)), d.get(t), directed, bs, edges)
+
+
+def check_dynsssp(spark, rng):
+    from networkit_spark.operators.dynsssp import sssp_state, update_sssp
+
+    n = rng.randint(6, 14)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.2]
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    st = sssp_state(g, 0)
+    all_pairs = [(u, v) for u in range(n) for v in range(u + 1, n)]
+    rng.shuffle(all_pairs)
+    adds = [p for p in all_pairs if p not in set(edges)][:2]
+    removes = [e for e in edges if rng.random() < 0.25]
+    spark_add = spark.createDataFrame(adds, "src long, dst long") if adds else None
+    spark_rm = spark.createDataFrame(removes, "src long, dst long") if removes else None
+    g1, st1 = update_sssp(g, st, 0, added=spark_add, removed=spark_rm)
+    got = {r["id"]: (r["dist"], int(r["npaths"])) for r in st1.collect()}
+    # python truth with npaths
+    new_edges = [e for e in edges if e not in set(removes)] + adds
+    adj = {}
+    for u, v in new_edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    d = {0: 0}
+    np_ = {0: 1}
+    frontier = [0]
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in d:
+                    nxt.add(v)
+        for v in nxt:
+            d[v] = d[frontier[0]] + 1
+            np_[v] = sum(np_[u] for u in adj.get(v, ()) if d.get(u) == d[v] - 1)
+        frontier = list(nxt)
+    want = {v: (float(d[v]), np_[v]) for v in d}
+    gotf = {k: (float(a), b) for k, (a, b) in got.items()}
+    assert gotf == want, (gotf, want, edges, adds, removes)
+
+
+def check_msf(spark, rng):
+    from networkit_spark.operators.spanning import minimum_spanning_forest
+
+    n = rng.randint(5, 16)
+    arcs = [
+        (u, v, rng.randint(1, 50) + rng.random())
+        for u in range(n) for v in range(u + 1, n)
+        if rng.random() < 0.3
+    ]
+    g = Graph.from_pairs(spark, arcs, directed=False, n=n, weighted=True)
+    got = round(
+        (minimum_spanning_forest(g).agg(F.sum("weight")).first()[0] or 0.0), 9
+    )
+    assert abs(got - kruskal_total(n, arcs)) < 1e-6, (got, kruskal_total(n, arcs), arcs)
+
+
+CHECKS = {
+    "scc": check_scc,
+    "fw": check_fw,
+    "betweenness": check_betweenness,
+    "bidij": check_bidij,
+    "pll": check_pll,
+    "dynsssp": check_dynsssp,
+    "msf": check_msf,
+}
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or list(CHECKS)
+    spark = get_spark("fuzz", cores=8, shuffle_partitions=8)
+    failures = 0
+    for op in ops:
+        for trial in range(trials):
+            rng = random.Random(hash((op, trial)) & 0xFFFFFFFF)
+            try:
+                CHECKS[op](spark, rng)
+                print(f"OK   {op} trial {trial}", flush=True)
+            except AssertionError as e:
+                failures += 1
+                print(f"FAIL {op} trial {trial}: {str(e)[:400]}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                failures += 1
+                print(f"ERR  {op} trial {trial}: {str(e)[:400]}", flush=True)
+    print(f"\n{failures} failures" if failures else "\nALL OK", flush=True)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+
+
+# ------------------------------------------------------- wave 2 checks
+def check_triangles(spark, rng):
+    from networkit_spark.operators.triangles import triangle_counts
+
+    n = rng.randint(5, 16)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < rng.uniform(0.15, 0.45)]
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {r["id"]: r["triangles"] for r in triangle_counts(g).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for v in range(n):
+        tri = 0
+        nb = sorted(adj[v])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if nb[j] in adj[nb[i]]:
+                    tri += 1
+        assert got.get(v, 0) == tri, (v, got.get(v), tri, edges)
+
+
+def check_cc2(spark, rng):
+    from networkit_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    n = rng.randint(5, 24)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < rng.uniform(0.03, 0.2)]
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {r["id"]: r["label"] for r in
+           connected_components_twophase(g).labels.collect()}
+    # python union-find, min-id labels
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {v: find(v) for v in range(n)}
+    assert got == want, (got, want, edges)
+
+
+def check_plp_fixed(spark, rng):
+    from networkit_spark.operators.labelprop import label_propagation_fixed
+
+    n = rng.randint(5, 14)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.25]
+    iters = rng.choice([1, 2, 3])
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {r["id"]: r["label"] for r in
+           label_propagation_fixed(g, n_iter=iters).collect()}
+    # python synchronous replica (heaviest label, smallest-label ties)
+    adj = {v: [] for v in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lab = {v: v for v in range(n)}
+    for _ in range(iters):
+        new = {}
+        for v in range(n):
+            if not adj[v]:
+                new[v] = lab[v]
+                continue
+            w = {}
+            for u in adj[v]:
+                w[lab[u]] = w.get(lab[u], 0.0) + 1.0
+            best = max(w.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    assert got == lab, (got, lab, edges, iters)
+
+
+CHECKS.update({
+    "triangles": check_triangles,
+    "cc2": check_cc2,
+    "plp": check_plp_fixed,
+})
+
+
+if __name__ == "__main__":
+    main()
