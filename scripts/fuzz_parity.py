@@ -481,5 +481,162 @@ CHECKS.update({
 })
 
 
+# ------------------------------------------------- wave 3: r3 dynamics
+def _bfs_dists(adj, n):
+    out = {}
+    for s in range(n):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        for t, dd in d.items():
+            out[(s, t)] = dd
+    return out
+
+
+def check_dynapsp(spark, rng):
+    from networkit_spark.operators.dynapsp import apsp_state, update_apsp
+
+    n = rng.randint(6, 16)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < rng.uniform(0.06, 0.2)]
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    st = apsp_state(g)
+    cur = list(edges)
+    for _batch in range(2):
+        pool = [(u, v) for u in range(n) for v in range(u + 1, n)
+                if (u, v) not in set(cur)]
+        rng.shuffle(pool)
+        adds = pool[: rng.randint(1, 3)]
+        if not adds:
+            break
+        g, st = update_apsp(g, st, spark.createDataFrame(adds, "src long, dst long"))
+        cur += adds
+    adj = {}
+    for u, v in cur:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    want = _bfs_dists(adj, n)
+    got = {(r["s"], r["t"]): r["dist"] for r in st.collect()}
+    assert got == want, (got, want, edges, cur)
+
+
+def check_dynpll(spark, rng):
+    from networkit_spark.operators.dynpll import (
+        pll_index, pll_index_query, update_pll,
+    )
+
+    n = rng.randint(6, 14)
+    directed = rng.random() < 0.4
+    if directed:
+        edges = [(u, v) for u in range(n) for v in range(n)
+                 if u != v and rng.random() < 0.12]
+    else:
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < 0.15]
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    idx = pll_index(g, batch_size=rng.choice([2, 5]))
+    pool = ([(u, v) for u in range(n) for v in range(n)
+             if u != v and (u, v) not in set(edges)] if directed else
+            [(u, v) for u in range(n) for v in range(u + 1, n)
+             if (u, v) not in set(edges)])
+    rng.shuffle(pool)
+    adds = pool[: rng.randint(1, 3)]
+    if not adds:
+        return
+    g1, idx1 = update_pll(g, idx, spark.createDataFrame(adds, "src long, dst long"))
+    adj = {}
+    for u, v in edges + adds:
+        adj.setdefault(u, []).append(v)
+        if not directed:
+            adj.setdefault(v, []).append(u)
+    want = _bfs_dists(adj, n) if not directed else None
+    if directed:
+        want = {}
+        for s in range(n):
+            d = {s: 0}
+            q = [s]
+            while q:
+                u = q.pop(0)
+                for v in adj.get(u, ()):
+                    if v not in d:
+                        d[v] = d[u] + 1
+                        q.append(v)
+            for t, dd in d.items():
+                want[(s, t)] = dd
+    pairs = spark.createDataFrame(
+        [(s, t) for s in range(n) for t in range(n)], "s long, t long"
+    )
+    got = {(r["s"], r["t"]): r["dist"] for r in pll_index_query(idx1, pairs).collect()}
+    for s in range(n):
+        for t in range(n):
+            assert got.get((s, t)) == want.get((s, t)), (
+                s, t, got.get((s, t)), want.get((s, t)), directed, edges, adds)
+
+
+def check_dyn_one(spark, rng):
+    from networkit_spark.operators.dynbetweenness_one import (
+        one_node_bcx, one_node_state, update_one_node,
+    )
+
+    n = rng.randint(6, 12)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.18]
+    x = rng.randrange(n)
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    st = one_node_state(g, x)
+    pool = [(u, v) for u in range(n) for v in range(u + 1, n)
+            if (u, v) not in set(edges)]
+    rng.shuffle(pool)
+    adds = pool[: rng.randint(1, 2)]
+    if not adds:
+        return
+    g1, st1 = update_one_node(g, st, x,
+                              spark.createDataFrame(adds, "src long, dst long"))
+    # python truth: per-source BFS with sigma/sigmax on the edited graph
+    adj = {}
+    for u, v in edges + adds:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    bcx = 0.0
+    want = {}
+    for s in range(n):
+        d = {s: 0}
+        sig = {s: 1.0}
+        sgx = {s: 1.0 if s == x else 0.0}
+        frontier = [s]
+        while frontier:
+            nxt = sorted({v for u in frontier for v in adj.get(u, ()) if v not in d})
+            for v in nxt:
+                d[v] = d[frontier[0]] + 1
+                preds = [u for u in adj.get(v, ()) if d.get(u) == d[v] - 1]
+                sig[v] = sum(sig[u] for u in preds)
+                sgx[v] = sig[v] if v == x else sum(
+                    (sig[u] if u == x else sgx[u]) for u in preds)
+            frontier = nxt
+        for t in d:
+            want[(s, t)] = (float(d[t]), sig[t], sgx[t])
+            if s != x and t != x and sig[t]:
+                bcx += sgx[t] / sig[t]
+    got = {(r["s"], r["t"]): (r["dist"], r["sigma"], r["sigmax"])
+           for r in st1.collect()}
+    assert set(got) == set(want), (set(got) ^ set(want), edges, adds, x)
+    for k in want:
+        for i in range(3):
+            assert abs(got[k][i] - want[k][i]) < 1e-9, (k, got[k], want[k], edges, adds, x)
+    assert abs(one_node_bcx(st1, x) - bcx) < 1e-9
+
+
+CHECKS.update({
+    "dynapsp": check_dynapsp,
+    "dynpll": check_dynpll,
+    "dyn_one": check_dyn_one,
+})
+
+
 if __name__ == "__main__":
     main()
