@@ -638,5 +638,126 @@ CHECKS.update({
 })
 
 
+# --------------------------------------------- wave 4: centrality family
+def _rand_graph(rng, allow_directed=True):
+    n = rng.randint(5, 15)
+    directed = allow_directed and rng.random() < 0.5
+    if directed:
+        edges = [(u, v) for u in range(n) for v in range(n)
+                 if u != v and rng.random() < 0.15]
+    else:
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < 0.22]
+    return n, directed, edges
+
+
+def _adj(edges, directed):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        if not directed:
+            adj.setdefault(v, []).append(u)
+    return adj
+
+
+
+def check_katz2(spark, rng):
+    from networkit_spark.operators.centrality import katz_centrality
+
+    n, directed, edges = _rand_graph(rng)
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    alpha, beta, tol, iters = 5e-2, 0.1, 1e-8, 60
+    got = {r["id"]: r["score"]
+           for r in katz_centrality(g, alpha=alpha, beta=beta, tol=tol,
+                                    max_iterations=iters).collect()}
+    # python replica: x' = alpha * (sum over in-edges of x[src]) + beta
+    inn = {}
+    for u, v in edges:
+        inn.setdefault(v, []).append(u)
+        if not directed:
+            inn.setdefault(u, []).append(v)
+    x = {v: 0.0 for v in range(n)}
+    for _ in range(iters):
+        new = {v: alpha * sum(x[u] for u in inn.get(v, ())) + beta
+               for v in range(n)}
+        diff = sum((new[v] - x[v]) ** 2 for v in range(n)) ** 0.5
+        x = new
+        if diff <= tol:
+            break
+    norm = sum(s * s for s in x.values()) ** 0.5 or 1.0
+    for v in range(n):
+        assert abs(got[v] - x[v] / norm) < 1e-7, (v, got[v], x[v] / norm, directed, edges)
+
+
+def check_harmonic(spark, rng):
+    from networkit_spark.operators.distances import harmonic_closeness
+
+    n, directed, edges = _rand_graph(rng)
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    got = {r["id"]: r["score"] for r in harmonic_closeness(g).collect()}
+    adj = _adj(edges, directed)
+    for s in range(n):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        want = sum(1.0 / dd for t, dd in d.items() if dd > 0)
+        assert abs(got.get(s, 0.0) - want) < 1e-9, (s, got.get(s), want, directed, edges)
+
+
+def check_ecc(spark, rng):
+    from networkit_spark.operators.distances import eccentricities
+
+    n, directed, edges = _rand_graph(rng)
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    got = {r["id"]: r["ecc"] for r in eccentricities(g).collect()}
+    adj = _adj(edges, directed)
+    for s in range(n):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        assert got.get(s) == max(d.values()), (s, got.get(s), max(d.values()), directed, edges)
+
+
+def check_closeness_gen(spark, rng):
+    from networkit_spark.operators.distances import closeness_centrality
+
+    n, directed, edges = _rand_graph(rng)
+    g = Graph.from_pairs(spark, edges, directed=directed, n=n)
+    got = {r["id"]: r["score"]
+           for r in closeness_centrality(g, variant="generalized").collect()}
+    adj = _adj(edges, directed)
+    for s in range(n):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj.get(u, ()):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        sum_d = sum(d.values())
+        reached = len(d)
+        want = ((reached - 1) / sum_d / (n - 1)) if sum_d > 0 else 0.0
+        assert abs(got.get(s, 0.0) - want) < 1e-9, (s, got.get(s), want, directed, edges)
+
+
+CHECKS.update({
+    "katz": check_katz2,
+    "harmonic": check_harmonic,
+    "ecc": check_ecc,
+    "closeness": check_closeness_gen,
+})
+
+
 if __name__ == "__main__":
     main()
