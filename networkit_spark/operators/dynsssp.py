@@ -258,14 +258,26 @@ def update_sssp(
         dag.unpersist()
         cone = cone.filter(F.col("id") != source)
         fixed = dists.join(cone, "id", "left_anti")
-        # boundary-derived inits: min over NEW in-arcs from outside
+        # boundary-derived inits over the DELETIONS-ONLY arc table. The
+        # added arcs must NOT be visible here: if they were, a cone node
+        # could absorb an addition's improvement during this phase, and
+        # phase 2's seed test ("added edge improves its head?") would
+        # then see no improvement and skip the propagation of that
+        # better value to nodes OUTSIDE the cone (caught by
+        # scripts/fuzz_parity.py dynsssp_w, round 3). Deletions-repair
+        # on G∖removed, THEN insertions-relaxation on the full new
+        # graph, is the decomposition whose fixed point is exact.
+        arcs_del = g1_edges.select("src", "dst", "weight") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        arcs_del.count()
         seed_d = (
-            arcs_new.join(cone.select(F.col("id").alias("dst")), "dst", "left_semi")
+            arcs_del.join(cone.select(F.col("id").alias("dst")), "dst", "left_semi")
             .join(fixed.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src")
             .select(F.col("dst").alias("id"), (F.col("ds") + F.col("weight")).alias("dist"))
             .groupBy("id").agg(F.min("dist").alias("dist"))
         )
-        repaired = _relax_inside(arcs_new, fixed, cone, seed_d)
+        repaired = _relax_inside(arcs_del, fixed, cone, seed_d)
+        arcs_del.unpersist()
         dists = truncate(fixed.unionByName(repaired), release=dists)
         touched.append(cone.select("id"))
 

@@ -759,5 +759,114 @@ CHECKS.update({
 })
 
 
+# ------------------------------------- wave 5: weighted dyn + FW -inf
+def check_dynsssp_weighted(spark, rng):
+    """DynDijkstra path: weighted add+remove batch == fresh Bellman-Ford."""
+    from networkit_spark.operators.dynsssp import sssp_state, update_sssp
+
+    n = rng.randint(6, 12)
+    edges = [(u, v, rng.randint(1, 9) / 2.0)
+             for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.25]
+    if not edges:
+        return
+    g = Graph.from_pairs(spark, edges, directed=False, n=n, weighted=True)
+    st = sssp_state(g, 0)
+    existing = {(u, v) for u, v, _ in edges}
+    pool = [(u, v) for u in range(n) for v in range(u + 1, n)
+            if (u, v) not in existing]
+    rng.shuffle(pool)
+    adds = [(u, v, rng.randint(1, 9) / 2.0) for u, v in pool[:2]]
+    removes = [(u, v) for u, v, _ in edges if rng.random() < 0.3]
+    ad = (spark.createDataFrame(adds, "src long, dst long, weight double")
+          if adds else None)
+    rm = (spark.createDataFrame(removes, "src long, dst long")
+          if removes else None)
+    g1, st1 = update_sssp(g, st, 0, added=ad, removed=rm)
+    got = {r["id"]: round(float(r["dist"]), 9) for r in st1.collect()}
+    # python dijkstra truth on the edited graph (dist only)
+    import heapq as hq
+    rm_set = set(removes)
+    adj = {}
+    for u, v, w in edges:
+        if (u, v) in rm_set:
+            continue
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    for u, v, w in adds:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    done = set()
+    while pq:
+        d, u = hq.heappop(pq)
+        if u in done:
+            continue
+        done.add(u)
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if v not in dist or nd < dist[v] - 1e-12:
+                dist[v] = nd
+                hq.heappush(pq, (nd, v))
+    want = {v: round(d, 9) for v, d in dist.items()}
+    assert got == want, (got, want, edges, adds, removes)
+
+
+def check_fw_neg(spark, rng):
+    """Negative-cycle tagging closure: pairs with a walk through a
+    negative cycle are -inf; negative_cycle_nodes = nodes on a cycle."""
+    from networkit_spark.operators.floydwarshall import floyd_warshall
+
+    n = rng.randint(4, 9)
+    arcs = [(u, v, float(rng.randint(-3, 7)))
+            for u in range(n) for v in range(n)
+            if u != v and rng.random() < 0.3]
+    g = Graph.from_pairs(spark, arcs, directed=True, n=n, weighted=True)
+    INF = float("inf")
+    d = [[INF] * n for _ in range(n)]
+    for i in range(n):
+        d[i][i] = 0.0
+    for u, v, w in arcs:
+        d[u][v] = min(d[u][v], w)
+    for k in range(n):
+        for i in range(n):
+            for j in range(n):
+                if d[i][k] + d[k][j] < d[i][j]:
+                    d[i][j] = d[i][k] + d[k][j]
+    on_cycle = [i for i in range(n) if d[i][i] < 0]
+    dists, negdf = floyd_warshall(g)
+    got_neg = sorted(r["id"] for r in negdf.collect())
+    # reference semantics (FloydWarshall.cpp tagNegativeCycles): marked =
+    # on-cycle nodes PLUS every u reaching a cycle node and every v
+    # reachable from one (d(u,w) < inf / d(w,v) < inf)
+    marked = set(on_cycle)
+    for w in on_cycle:
+        for u in range(n):
+            if d[u][w] < INF:
+                marked.add(u)
+            if d[w][u] < INF:
+                marked.add(u)
+    assert got_neg == sorted(marked), (got_neg, sorted(marked), arcs)
+    got = {(r["u"], r["v"]): r["dist"] for r in dists.collect()}
+    for s in range(n):
+        for t in range(n):
+            # -inf iff s reaches some cycle node c and c reaches t
+            neg = any(d[s][c] < INF and d[c][t] < INF for c in on_cycle)
+            if neg:
+                assert got.get((s, t)) == float("-inf"), (s, t, got.get((s, t)), arcs)
+            elif d[s][t] == INF:
+                assert (s, t) not in got, (s, t, got.get((s, t)), arcs)
+            else:
+                assert abs(got.get((s, t), INF) - d[s][t]) < 1e-9, (
+                    s, t, got.get((s, t)), d[s][t], arcs)
+
+
+CHECKS.update({
+    "dynsssp_w": check_dynsssp_weighted,
+    "fw_neg": check_fw_neg,
+})
+
+
 if __name__ == "__main__":
     main()

@@ -138,3 +138,25 @@ def test_dynbfs_directed_reachability_change(spark):  # noqa: F811
     assert 2 not in _collect(st2) and 3 not in _collect(st2)
     _edit_and_check(spark, g2, st2, 0, [(1, 3, 1.0), (3, 2, 1.0)], None,
                     weighted=False)
+
+
+def test_mixed_batch_added_edge_improves_deletion_cone(spark):
+    """Regression (round 3, found by scripts/fuzz_parity.py dynsssp_w):
+    the deletion-phase cone repair must NOT see the added arcs. If it
+    does, a cone node absorbs the addition's improvement during phase 1
+    and phase 2's is-it-an-improvement seed test then skips propagating
+    that value to nodes OUTSIDE the cone (here: 4 stayed at 7.5 via
+    0-1-2-4 instead of 6.0 via the added (1,7) then 7-4)."""
+    edges = [(0, 1, 1.5), (0, 6, 3.5), (1, 2, 4.0), (1, 3, 3.0),
+             (1, 5, 2.0), (2, 4, 2.0), (2, 5, 4.0), (3, 7, 4.0),
+             (4, 7, 2.5)]
+    g = Graph.from_pairs(spark, edges, directed=False, n=8, weighted=True)
+    st = sssp_state(g, 0)
+    added = spark.createDataFrame(
+        [(1, 7, 2.0), (2, 6, 4.0)], "src long, dst long, weight double"
+    )
+    removed = spark.createDataFrame([(0, 6), (1, 3)], "src long, dst long")
+    _, st1 = update_sssp(g, st, 0, added=added, removed=removed)
+    got = {r["id"]: round(float(r["dist"]), 9) for r in st1.collect()}
+    assert got == {0: 0.0, 1: 1.5, 2: 5.5, 5: 3.5, 7: 3.5, 3: 7.5,
+                   4: 6.0, 6: 9.5}
