@@ -868,5 +868,59 @@ CHECKS.update({
 })
 
 
+# ----------------------------------------- wave 6: edge-score formulas
+def check_jaccard_scores(spark, rng):
+    from networkit_spark.operators.sparsification import (
+        jaccard_similarity_scores,
+    )
+
+    n = rng.randint(5, 15)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.3]
+    if not edges:
+        return
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {(r["u"], r["v"]): round(r["score"], 9)
+           for r in jaccard_similarity_scores(g).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for u, v in edges:
+        inter = len(adj[u] & adj[v])
+        union = len(adj[u]) + len(adj[v]) - inter
+        want = round(inter / union, 9) if union else 0.0
+        assert got.get((u, v)) == want, (u, v, got.get((u, v)), want, edges)
+
+
+def check_adamic_adar(spark, rng):
+    import math as _m
+
+    from networkit_spark.operators.sparsification import adamic_adar_scores
+
+    n = rng.randint(5, 15)
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.3]
+    if not edges:
+        return
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {(r["u"], r["v"]): round(r["score"], 9)
+           for r in adamic_adar_scores(g).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for u, v in edges:
+        want = round(sum(1.0 / _m.log(len(adj[w])) for w in adj[u] & adj[v]), 9)
+        assert abs(got.get((u, v), 0.0) - want) < 1e-9, (
+            u, v, got.get((u, v)), want, edges)
+
+
+CHECKS.update({
+    "jaccard": check_jaccard_scores,
+    "adamic": check_adamic_adar,
+})
+
+
 if __name__ == "__main__":
     main()
