@@ -51,6 +51,11 @@ from networkit_spark.plans.iterative import Checkpointer, truncate
 class PLPResult:
     labels: DataFrame  # (id: long, label: long)
     iterations: int
+    # Per-sweep dicts {"iteration": k, "updated": n}. In fixed-iteration
+    # mode (threshold < 0) the per-sweep count job is skipped — and with
+    # checkpoint_every > 1 whole sweeps are fused into one job — so
+    # "updated" is the integer sentinel -1 (count not measured), never
+    # None: consumers summing/thresholding the counts stay type-safe.
     history: list = field(default_factory=list)
 
     def number_of_communities(self) -> int:
@@ -187,14 +192,14 @@ def label_propagation(
         if fused:
             # Fixed-mode fusion: defer materialization, let the next
             # sweep stack onto this one's plan (same labels, fewer jobs).
-            history.append({"iteration": iterations, "updated": None})
+            history.append({"iteration": iterations, "updated": -1})
             state = merged
             continue
         snap = ckpt.save(merged, iterations, None)
         if threshold < 0:
             # Fixed-iteration mode: the loop never stops on the update
             # count, so skip the per-sweep count job entirely.
-            history.append({"iteration": iterations, "updated": None})
+            history.append({"iteration": iterations, "updated": -1})
         else:
             n_updated = snap.filter("changed").count()
             history.append({"iteration": iterations, "updated": int(n_updated)})

@@ -348,6 +348,9 @@ def read_binary_edgelist_partition(
         raise ValueError("Error: node smaller than the given firstNode found!")
     us = us - first_node
     n_elems = int(us.max()) + 1 if us.size else 0
+    # The reference compares the RAW pair count against max-id+1
+    # (read_values vs numberOfElements, BinaryEdgeListPartitionReader
+    # .cpp:77-83) — duplicates compensated by gaps pass both checks.
     if us.size < n_elems:
         raise ValueError(
             "Error, read less values than there are elements in the partition."
@@ -358,7 +361,18 @@ def read_binary_edgelist_partition(
         )
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame({"id": us, "label": ps}))
+    # zeta[u] = p overwrites (reference :68): last write wins per id, so
+    # the result has exactly one row per assigned element. Elements never
+    # assigned (a gap covered by a duplicate) are the reference's `none`
+    # slots — surfaced here as null labels.
+    uniq, last_rev_idx = np.unique(us[::-1], return_index=True)
+    labels = ps[::-1][last_rev_idx]
+    out = pd.DataFrame({"id": np.arange(n_elems, dtype="int64")}).merge(
+        pd.DataFrame({"id": uniq, "label": pd.array(labels, dtype="Int64")}),
+        on="id",
+        how="left",
+    )
+    return spark.createDataFrame(out, schema="id long, label long")
 
 
 def write_binary_edgelist_partition(

@@ -375,7 +375,10 @@ def main():
     failures = 0
     for op in ops:
         for trial in range(trials):
-            rng = random.Random(hash((op, trial)) & 0xFFFFFFFF)
+            # str seeding is stable across processes (unlike hash() of a
+            # tuple of strings under randomized PYTHONHASHSEED), so a
+            # failing trial replays exactly with the same argv.
+            rng = random.Random(f"{op}:{trial}")
             try:
                 CHECKS[op](spark, rng)
                 print(f"OK   {op} trial {trial}", flush=True)

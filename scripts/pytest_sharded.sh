@@ -31,6 +31,14 @@ for ((i = 0; i < N; i++)); do
   for ((j = i; j < ${#FILES[@]}; j += N)); do
     shard+=("${FILES[$j]}")
   done
+  if [ "${#shard[@]}" -eq 0 ]; then
+    # More shards than test files: a bare `pytest -q` would re-collect
+    # the whole tree and silently duplicate the suite. Skip the shard.
+    echo "ok (empty shard)" >"/tmp/pytest_shard_$i.log"
+    (exit 0) &
+    pids+=($!)
+    continue
+  fi
   (python -m pytest -q -p no:cacheprovider "${shard[@]}" \
     >"/tmp/pytest_shard_$i.log" 2>&1) &
   pids+=($!)

@@ -195,6 +195,25 @@ def test_binary_edgelist_partition_roundtrip(spark, tmp_path):
         read_binary_edgelist_partition(spark, path, first_node=11, width=4)
 
 
+def test_binary_edgelist_partition_duplicate_last_write_wins(spark, tmp_path):
+    """Duplicate id compensated by a gap: reference overwrites zeta[u]
+    (last write wins) and leaves the gap element `none`
+    (BinaryEdgeListPartitionReader.cpp:64-83); both count checks pass
+    because they compare the RAW pair count against max-id+1."""
+    import numpy as np
+
+    from networkit_spark.sources.binformats import read_binary_edgelist_partition
+
+    path = str(tmp_path / "dup.bin")
+    # pairs (0,5), (0,6), (2,7): id 0 twice, id 1 never
+    np.array([0, 5, 0, 6, 2, 7], dtype="<u4").tofile(path)
+    rows = {
+        r["id"]: r["label"]
+        for r in read_binary_edgelist_partition(spark, path, width=4).collect()
+    }
+    assert rows == {0: 6, 1: None, 2: 7}  # one row per element, last write wins
+
+
 # ----------------------------------------------------------------- raster
 def test_raster_points(spark, tmp_path):
     from networkit_spark.sources.binformats import read_raster
