@@ -23,14 +23,19 @@ local[32]) lives in scripts/scaling_bench.py → SCALING.md.
 Steal defense (VERDICT r2 'what's wrong' #1): this shared sandbox host
 has multi-minute hypervisor-steal bursts (round 2's committed bench was
 recorded at 7.08% steal and understated the engine by ~30% on the
-PageRank rows). The harness now defends itself the same way the scaling
-harness does: (1) before each attempt it waits — bounded — for a quiet
+PageRank rows). The harness defends itself the same way the scaling
+harness does: (1) before each run it waits — bounded — for a quiet
 window (host steal below QUIET_STEAL_PCT over a short probe); (2) it
-measures steal across the measured section; (3) a dirty attempt
-(> DIRTY_STEAL_PCT) is discarded and re-run on a fresh session, up to
-MAX_ATTEMPTS, keeping the lowest-steal attempt. The printed JSON always
-carries `host_steal_pct` + `attempts` so a noisy artifact is
-self-describing.
+measures steal across the measured section; (3) a dirty run
+(> DIRTY_STEAL_PCT) is re-attempted on a fresh session while attempt
+budget remains, and only used as a last resort.
+
+Median-of-3 (VERDICT r3 'next round' #2): the harness runs the workload
+SPARK_GRAFT_BENCH_RUNS times (default 3, each a fresh session) and
+reports per-query MEDIANS in "queries" plus {min,max} per query in
+"spread"; the headline total is the sum of medians. The printed JSON
+carries `host_steal_pct` (worst used run), `steal_per_run`, `attempts`
+and `runs_used`, so a noisy artifact is self-describing.
 """
 
 from __future__ import annotations
@@ -61,10 +66,9 @@ from networkit_spark.sources.tables import load_table
 
 BENCH_MODULUS = 20011  # ~|lineitem| distinct arcs at sf0.1 → real graph work
 
-QUIET_STEAL_PCT = 1.5   # pre-attempt probe must be under this
-DIRTY_STEAL_PCT = 2.0   # attempt discarded above this (scaling-harness gate)
-MAX_ATTEMPTS = 3
-QUIET_WAIT_SECS = 600   # bounded wait for a quiet window per attempt
+QUIET_STEAL_PCT = 1.5   # pre-run probe must be under this
+DIRTY_STEAL_PCT = 2.0   # run re-attempted above this (scaling-harness gate)
+QUIET_WAIT_SECS = 600   # bounded wait for a quiet window per run
 PROBE_SECS = 3.0
 
 
@@ -240,11 +244,11 @@ def run_attempt(spark, sf_dir: str):
     g_lfr = Graph.from_edges(lfr_edges, directed=False)
 
     def lfr_plm():
-        # max_iter=6: the level-0 move phase is job-overhead-bound at this
-        # size (~2.5s/sweep regardless of data); with the p=3/4 move gate
-        # 6 sweeps reach NMI 0.932 — the same quality the old p=1/2 gate
-        # needed 8 sweeps for, and the default 32 adds nothing.
-        labels = plm(g_lfr, max_iter=6).labels.persist()
+        # max_iter=4: the level-0 move phase is job-overhead-bound at this
+        # size (~1s/sweep regardless of data); with the p=7/8 move gate
+        # 4 sweeps reach NMI 0.9323 — above the p=3/4 gate's 6-sweep
+        # 0.9316 — and the default 32 adds nothing.
+        labels = plm(g_lfr, max_iter=4).labels.persist()
         force(labels)
         extra["lfr_plm_nmi"] = round(
             nmi(labels, lfr_truth.withColumnRenamed("community", "label")), 4
@@ -263,14 +267,26 @@ def run_attempt(spark, sf_dir: str):
 
 
 def main():
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    best = None  # (steal, times, extra, attempt_no)
-    for attempt in range(1, MAX_ATTEMPTS + 1):
+    # Median-of-N (default 3): per-query medians with min/max spread, so
+    # a single noisy attempt (or a genuinely variable query like the
+    # distributed PLM sweeps) can't swing the round-over-round totals.
+    # Each run is its own fresh session behind the quiet-window gate;
+    # dirty runs (> DIRTY_STEAL_PCT) are re-attempted while budget
+    # remains and only used as a last resort.
+    max_attempts = n_runs + 2
+    runs: list[tuple[float, dict, dict]] = []
+    attempts = 0
+    while attempts < max_attempts:
+        attempts += 1
         pre = _wait_quiet()
-        log(f"attempt {attempt}: pre-run steal probe {pre:.2f}%")
+        log(f"attempt {attempts}: pre-run steal probe {pre:.2f}%")
         spark = get_spark(
             "bench",
             cores=cpus,
@@ -284,25 +300,47 @@ def main():
         times, extra = run_attempt(spark, sf_dir)
         spark.stop()
         steal = extra["host_steal_pct"]
-        if best is None or steal < best[0]:
-            best = (steal, times, extra, attempt)
-        if steal <= DIRTY_STEAL_PCT:
+        runs.append((steal, times, extra))
+        clean = [r for r in runs if r[0] <= DIRTY_STEAL_PCT]
+        if len(clean) >= n_runs:
             break
-        log(
-            f"attempt {attempt} dirty (steal {steal}% > {DIRTY_STEAL_PCT}%)"
-            + (" — retrying on a fresh session" if attempt < MAX_ATTEMPTS else "")
-        )
+        if steal > DIRTY_STEAL_PCT:
+            log(f"attempt {attempts} dirty (steal {steal}% > {DIRTY_STEAL_PCT}%)")
 
-    _, times, extra, attempt = best
-    extra["attempts"] = attempt
-    total = round(sum(times.values()), 3)
+    # Keep the n_runs lowest-steal runs (all clean unless budget ran out).
+    chosen = sorted(runs, key=lambda r: r[0])[:n_runs]
+    qnames = list(chosen[0][1].keys())
+    med = {
+        q: round(statistics.median(r[1][q] for r in chosen), 3) for q in qnames
+    }
+    spread = {
+        q: {
+            "min": round(min(r[1][q] for r in chosen), 3),
+            "max": round(max(r[1][q] for r in chosen), 3),
+        }
+        for q in qnames
+    }
+    extra_keys = set().union(*(r[2].keys() for r in chosen))
+    extra = {
+        k: round(
+            statistics.median(r[2][k] for r in chosen if k in r[2]), 4
+        )
+        for k in sorted(extra_keys)
+        if k != "host_steal_pct"
+    }
+    extra["host_steal_pct"] = max(r[0] for r in chosen)
+    extra["steal_per_run"] = [r[0] for r in chosen]
+    extra["attempts"] = attempts
+    extra["runs_used"] = len(chosen)
+    total = round(sum(med.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": med,
+                "spread": spread,
                 "sf": sf,
                 "extra": extra,
             }

@@ -63,30 +63,27 @@ def coarsen(graph: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
     mv = mapping.select(F.col("id").alias("dst"), F.col("coarse_id").alias("cv"))
     arcs = sym.join(mu, "src").join(mv, "dst")
 
-    inter = (
-        arcs.filter(F.col("cu") != F.col("cv"))
-        .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
-        .agg(F.sum("weight").alias("weight"))
-    )
-    # Intra-subset: each fine undirected edge appears twice in the sym
-    # table (half weight each), fine self-loops once (full weight) —
-    # reproduces the reference's `sv != su || u >= v` once-per-edge count.
-    intra = (
-        arcs.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("src"))
-        .agg(
-            F.sum(
-                F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(
-                    F.col("weight") / 2.0
-                )
-            ).alias("weight")
-        )
-        .select("src", F.col("src").alias("dst"), "weight")
+    # ONE aggregation for both inter- and intra-subset weights (a
+    # union of two filtered branches would recompute the join per
+    # branch — Spark does no cross-branch CSE). Intra-subset (cu == cv):
+    # each fine undirected edge appears twice in the sym table (half
+    # weight each), fine self-loops once (full weight) — reproduces the
+    # reference's `sv != su || u >= v` once-per-edge count.
+    coarse_edges = arcs.groupBy(
+        F.col("cu").alias("src"), F.col("cv").alias("dst")
+    ).agg(
+        F.sum(
+            F.when(F.col("cu") != F.col("cv"), F.col("weight")).otherwise(
+                F.when(
+                    F.col("src") == F.col("dst"), F.col("weight")
+                ).otherwise(F.col("weight") / 2.0)
+            )
+        ).alias("weight")
     )
 
     coarse_vertices = dictionary.select(F.col("coarse_id").alias("id"))
     coarse = Graph.from_edges(
-        inter.unionByName(intra),
+        coarse_edges,
         directed=False,
         weighted=True,
         vertices=coarse_vertices,

@@ -247,11 +247,14 @@ def group_closeness_local_swaps(
     n_swaps = 0
     try:
         while n_swaps < max_swaps:
-            memdf = F.broadcast(
-                spark.createDataFrame([(m,) for m in members], "x long")
-            )
+            # NOTE: the broadcast hint is applied per-join below, never
+            # baked into the frame — memdf also sits on the PRESERVED
+            # side of a left join (basedf), where a baked-in hint is
+            # unusable (Spark drops it with a HintErrorLogger warning
+            # and silently shuffles).
+            memdf = spark.createDataFrame([(m,) for m in members], "x long")
             memd = dist.join(
-                memdf.withColumnRenamed("x", "s"), "s", "left_semi"
+                F.broadcast(memdf.withColumnRenamed("x", "s")), "s", "left_semi"
             )
             # per-vertex: nearest member (dist, id tie-break) + runner-up
             pv = memd.groupBy("id").agg(
@@ -305,8 +308,10 @@ def group_closeness_local_swaps(
                 F.sum("m1").alias("s1"),
                 F.sum(F.coalesce("m2", zero)).alias("s2"),
             )
+            # per_x is ≤ k rows (grouped by member) — broadcast the BUILD
+            # (right) side of this left join; memdf must stay preserved.
             basedf = memdf.join(
-                per_x, memdf.x == per_x.arg1, "left"
+                F.broadcast(per_x), memdf.x == per_x.arg1, "left"
             ).select(
                 "x",
                 (
@@ -315,25 +320,33 @@ def group_closeness_local_swaps(
                     + F.coalesce("s2", zero)
                 ).alias("base"),
             )
+            # Explicit aliases: per_u and per_ux share lineage (both are
+            # aggregations of j), so an unaliased per_ux.u == per_u.u
+            # resolves through Spark's self-join disambiguation as a
+            # "trivially true" predicate warning — and is one plan change
+            # away from becoming a filter-less join. Qualify both sides.
+            pu = per_u.alias("pu")
+            pux = per_ux.alias("pux")
             pairs = (
-                basedf.crossJoin(per_u)
+                basedf.crossJoin(pu)
                 .join(
-                    per_ux,
-                    (per_ux.u == per_u.u) & (per_ux.arg1 == F.col("x")),
+                    pux,
+                    (F.col("pux.u") == F.col("pu.u"))
+                    & (F.col("pux.arg1") == F.col("x")),
                     "left",
                 )
                 .select(
                     "x",
-                    per_u.u.alias("u"),
+                    F.col("pu.u").alias("u"),
                     (
                         F.col("base")
                         - (
-                            F.col("red_common")
-                            - F.coalesce("corr1", zero)
-                            + F.coalesce("corr2", zero)
+                            F.col("pu.red_common")
+                            - F.coalesce(F.col("pux.corr1"), zero)
+                            + F.coalesce(F.col("pux.corr2"), zero)
                         )
-                        + F.coalesce("add2", zero)
-                        + F.col("add_all")
+                        + F.coalesce(F.col("pux.add2"), zero)
+                        + F.col("pu.add_all")
                     ).alias("far"),
                 )
             )

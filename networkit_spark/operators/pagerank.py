@@ -80,27 +80,47 @@ class PreparedPageRank:
         spark = graph.edges.sparkSession
         self.vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
         self.n = self.vertices.count()
-        # deg[v] = weightedDegree(v); fold the division into the edge table once.
-        deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
-            F.sum("weight").alias("deg")
-        )
+        # deg[v] = weightedDegree(v); fold the division into the edge
+        # table once. ONE exchange keys the edge table by src; the degree
+        # rollup and the normalization join are then colocated on it
+        # (groupBy/join both satisfied by hash(src)), and the join output
+        # keeps that layout for every superstep's gather join.
+        n_part = graph.num_partitions or spark.sparkContext.defaultParallelism
+        e = graph.edges.repartition(n_part, "src")
+        deg = e.groupBy("src").agg(F.sum("weight").alias("deg"))
         self.edges_norm = (
-            graph.edges.join(deg, graph.edges.src == deg.id)
+            e.join(deg, "src")
             .select("src", "dst", (F.col("weight") / F.col("deg")).alias("frac"))
-            .repartition(
-                graph.num_partitions or spark.sparkContext.defaultParallelism, "src"
-            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self.edges_norm.count()  # materialize before any loop
-        # sinks = nodes with degree()==0, i.e. no out-arcs (PageRank.cpp:35-41)
-        self.sinks = self.vertices.join(
-            graph.edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        self.n_sinks = self.sinks.count()
+        # sinks (nodes with degree()==0, i.e. no out-arcs,
+        # PageRank.cpp:35-41) are built LAZILY: a NO_SINK_HANDLING
+        # un-normalized run — the common web-ranking configuration —
+        # never pays the anti-join.
+        self._sinks: DataFrame | None = None
+        self._n_sinks: int | None = None
+
+    @property
+    def sinks(self) -> DataFrame:
+        if self._sinks is None:
+            self._sinks = self.vertices.join(
+                self.graph.edges.select(F.col("src").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._n_sinks = self._sinks.count()
+        return self._sinks
+
+    @property
+    def n_sinks(self) -> int:
+        self.sinks
+        return self._n_sinks
 
     def unpersist(self):
-        for df in (self.vertices, self.edges_norm, self.sinks):
+        for df in (self.vertices, self.edges_norm, self._sinks):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -133,7 +153,7 @@ def pagerank(
 
     own_prepared = prepared is None
     prep = prepared or PreparedPageRank(graph)
-    vertices, edges_norm, sinks = prep.vertices, prep.edges_norm, prep.sinks
+    vertices, edges_norm = prep.vertices, prep.edges_norm
     n = prep.n
     if n == 0:
         raise ValueError("PageRank on empty graph")
@@ -191,7 +211,7 @@ def pagerank(
             )
         if handle_sinks:
             sink_mass = (
-                ranks.join(sinks, "id", "left_semi")
+                ranks.join(prep.sinks, "id", "left_semi")
                 .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("sink_mass"))
             )
             keep = ["id"] if fixed_mode else ["id", "old_score"]
@@ -232,7 +252,8 @@ def pagerank(
     if normalized:
         if graph.directed:
             sink_sum = (
-                ranks.join(sinks, "id", "left_semi").agg(F.sum("score")).first()[0] or 0.0
+                ranks.join(prep.sinks, "id", "left_semi").agg(F.sum("score")).first()[0]
+                or 0.0
             )
             norm_factor = (1.0 / n) * ((1.0 - damp) + damp * sink_sum)
         else:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans import local_guard
 
 
 def _edge_labels(graph: Graph, labels: DataFrame) -> DataFrame:
@@ -132,10 +133,38 @@ def nmi(labels_a: DataFrame, labels_b: DataFrame) -> float:
         .agg(F.count(F.lit(1)).alias("nij"))
         .persist()
     )
-    n = joint.agg(F.sum("nij")).first()[0]
+    stats = joint.agg(
+        F.sum("nij").alias("n"), F.count(F.lit(1)).alias("cells")
+    ).first()
+    n, cells = stats["n"], int(stats["cells"])
     if not n:
         joint.unpersist()
         return 0.0
+    # The contingency table is cell-count-sized (≤ #nonempty (A,B) label
+    # pairs, ≪ nodes once either clustering has real communities). When
+    # it fits the driver budget, finish the entropies in ONE collect +
+    # numpy instead of three more scalar-aggregation jobs; the
+    # distributed path below stays as the unguarded-scale fallback.
+    if cells * 24 <= local_guard.DEFAULT_MAX_LOCAL_BYTES:
+        import numpy as np
+
+        rows = joint.collect()
+        joint.unpersist()
+        nij = np.array([r["nij"] for r in rows], dtype="float64")
+        la = np.array([r["la"] for r in rows])
+        lb = np.array([r["lb"] for r in rows])
+        _, ia = np.unique(la, return_inverse=True)
+        _, ib = np.unique(lb, return_inverse=True)
+        ni = np.bincount(ia, weights=nij)
+        nj = np.bincount(ib, weights=nij)
+        ha = float(-np.sum((ni / n) * np.log(ni / n)))
+        hb = float(-np.sum((nj / n) * np.log(nj / n)))
+        mi = float(
+            np.sum((nij / n) * np.log(n * nij / (ni[ia] * nj[ib])))
+        )
+        if ha + hb == 0:
+            return 1.0
+        return 2.0 * mi / (ha + hb)
     na = joint.groupBy("la").agg(F.sum("nij").alias("ni"))
     nb = joint.groupBy("lb").agg(F.sum("nij").alias("nj"))
     ha = float(
