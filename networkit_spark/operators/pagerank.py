@@ -192,6 +192,14 @@ def pagerank(
     converged = False
     hit_tol = False
     while not converged:
+        # Both joins plan as colocated sort-merge on the pinned hash
+        # layout (at rank sizes under the broadcast threshold AQE
+        # upgrades the gather join to broadcast). Two variants were
+        # measured on the 65M-arc scaling input and REJECTED: a
+        # SHUFFLE_HASH build of the rank side (1-core 177s vs 157s —
+        # random hash probes lose to merge), and pre-sorting the cached
+        # edge/vertex tables to skip the SMJ sorts (wall-neutral: the
+        # per-superstep sorts are not the bottleneck at this scale).
         contribs = (
             ranks.join(edges_norm, ranks.id == edges_norm.src)
             .groupBy(F.col("dst").alias("id"))

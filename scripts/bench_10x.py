@@ -1,0 +1,175 @@
+"""10x rehearsal (VERDICT r3 'next round' #5): the headline graph suite
+at RMAT 2^24 x 16 (~250M deduped arcs, ~10x the 65M-arc scaling input /
+~60x the sf0.1 bench graph's work) plus near-dup LSH on a 10x documents
+corpus. Emits BENCH_r4_10x.json with per-query wall seconds and shuffle
+bytes (total written + peak single-stage) read from the Spark REST API,
+so a super-linear cliff shows up as numbers, not vibes.
+
+The graph is generated once to parquet (same generator/seed contract as
+scripts/scaling_bench.py) so reruns skip generation and the measured
+queries read a clean scan, like the Iceberg table at scale.
+
+Usage: python scripts/bench_10x.py    # writes BENCH_r4_10x.json in repo root
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+RMAT_SCALE = int(os.environ.get("TENX_RMAT", "24"))
+EDGE_FACTOR = int(os.environ.get("TENX_EDGE_FACTOR", "16"))
+UI_PORT = 4049
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(REPO, "BENCH_r4_10x.json")
+
+
+def rest(appid_path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/{appid_path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def shuffle_stats(app_id: str) -> tuple[int, int]:
+    """(total shuffle write bytes, max single-stage shuffle write bytes)
+    over all completed stages so far."""
+    stages = rest(f"applications/{app_id}/stages?status=complete")
+    writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+    return sum(writes), max(writes, default=0)
+
+
+def main():
+    from networkit_spark.generators import rmat
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import connected_components_twophase
+    from networkit_spark.operators.dedup import near_duplicates
+    from networkit_spark.operators.labelprop import label_propagation_fixed
+    from networkit_spark.operators.pagerank import (
+        NO_SINK_HANDLING,
+        PreparedPageRank,
+        pagerank_fixed,
+    )
+    from networkit_spark.operators.triangles import triangles
+    from networkit_spark.session import get_spark
+
+    spark = get_spark(
+        "bench10x",
+        cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # ~250M arcs / 128 partitions = ~2M rows/partition — sized so a
+        # partition's shuffle block stays comfortably in executor memory
+        # (the sf0.1 bench pins 32; 10x data gets 4x the partitions).
+        shuffle_partitions=128,
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
+    )
+    app_id = spark.sparkContext.applicationId
+
+    edges_path = f"/tmp/rmat{RMAT_SCALE}x{EDGE_FACTOR}.parquet"
+    if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
+        print(f"generating RMAT 2^{RMAT_SCALE} x {EDGE_FACTOR} ...", file=sys.stderr)
+        rmat(spark, scale=RMAT_SCALE, edge_factor=EDGE_FACTOR).dropDuplicates(
+            ["src", "dst"]
+        ).repartition(128, "src").write.mode("overwrite").parquet(edges_path)
+
+    times: dict[str, float] = {}
+    shuffles: dict[str, dict] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        w0, _ = shuffle_stats(app_id)
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        w1, peak = shuffle_stats(app_id)
+        times[name] = round(dt, 3)
+        shuffles[name] = {
+            "shuffle_write_bytes": w1 - w0,
+            "peak_stage_shuffle_bytes": peak,
+        }
+        print(f"{name}: {dt:.2f}s shuffleΔ={(w1-w0)/2**30:.2f}GiB", file=sys.stderr)
+        return out
+
+    def force(df):
+        return df.agg(F.count("*").alias("n"), *[F.count(c) for c in df.columns]).first()["n"]
+
+    edges = spark.read.parquet(edges_path).persist()
+    m = edges.count()
+    extra["arcs"] = m
+    print(f"graph: {m} arcs", file=sys.stderr)
+    g_dir = Graph.from_edges(edges, directed=True, num_partitions=128)
+
+    prep = timed("pagerank_prepare", lambda: PreparedPageRank(g_dir))
+    timed(
+        "pagerank_5iter",
+        lambda: force(
+            pagerank_fixed(g_dir, n_iter=5, distribute_sinks=NO_SINK_HANDLING,
+                           checkpoint_every=5, prepared=prep)
+        ),
+    )
+    extra["pagerank_edges_per_sec"] = round(5 * m / times["pagerank_5iter"], 1)
+    prep.unpersist()
+
+    und = (
+        edges.select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    g_und = Graph.from_edges(und, directed=False, num_partitions=128)
+    timed("cc_converge", lambda: force(connected_components_twophase(g_und).labels))
+    timed("plp_2iter", lambda: force(label_propagation_fixed(g_und, n_iter=2)))
+    timed("triangle_total", lambda: triangles(g_und).count())
+    edges.unpersist()
+
+    # 10x documents: copy 0 verbatim (exact LSH behavior preserved),
+    # copies 1-9 with an id offset and a distinct salt token appended —
+    # near-dups of the original (high n-gram Jaccard), so the candidate
+    # pipeline carries ~10-doc near-dup groups, the workload shape a
+    # dedup pass sees on a crawl with mirrored pages.
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    copies = [docs]
+    for i in range(1, 10):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat("text", F.lit(f" copysalt{i}")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    docs10 = copies[0]
+    for c in copies[1:]:
+        docs10 = docs10.unionByName(c)
+    docs10 = docs10.repartition(64).persist()
+    extra["docs"] = docs10.count()
+    timed("near_dup_lsh_10x", lambda: force(near_duplicates(docs10, threshold=0.5)))
+    docs10.unpersist()
+
+    payload = {
+        "metric": "tenx_rehearsal_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "shuffle": shuffles,
+        "extra": extra,
+        "rmat": {"scale": RMAT_SCALE, "edge_factor": EDGE_FACTOR},
+    }
+    with open(OUT, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
