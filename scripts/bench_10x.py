@@ -68,7 +68,12 @@ def main():
         # (the sf0.1 bench pins 32; 10x data gets 4x the partitions).
         shuffle_partitions=128,
         extra_conf={
-            "spark.local.dir": "/dev/shm/spark",
+            # DISK shuffle dir, not tmpfs: the 10x queries write 50-100
+            # GiB of shuffle; on /dev/shm that RAM competes with the JVM
+            # heap and the kernel OOM-kills the executor (observed on the
+            # triangle query). On a real cluster this is executor-local
+            # NVMe either way.
+            "spark.local.dir": "/tmp/spark-10x",
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
         },
@@ -85,8 +90,14 @@ def main():
     times: dict[str, float] = {}
     shuffles: dict[str, dict] = {}
     extra: dict[str, float] = {}
+    # TENX_ONLY=triangle_total,near_dup_lsh_10x reruns a subset after a
+    # crash; results merge into the existing BENCH_r4_10x.json.
+    only = set(filter(None, os.environ.get("TENX_ONLY", "").split(",")))
 
     def timed(name, fn):
+        if only and name not in only:
+            print(f"{name}: skipped (TENX_ONLY)", file=sys.stderr)
+            return None
         w0, _ = shuffle_stats(app_id)
         t0 = time.perf_counter()
         out = fn()
@@ -103,68 +114,94 @@ def main():
     def force(df):
         return df.agg(F.count("*").alias("n"), *[F.count(c) for c in df.columns]).first()["n"]
 
-    edges = spark.read.parquet(edges_path).persist()
-    m = edges.count()
-    extra["arcs"] = m
-    print(f"graph: {m} arcs", file=sys.stderr)
-    g_dir = Graph.from_edges(edges, directed=True, num_partitions=128)
+    def wanted(*names) -> bool:
+        return not only or bool(only & set(names))
 
-    prep = timed("pagerank_prepare", lambda: PreparedPageRank(g_dir))
-    timed(
-        "pagerank_5iter",
-        lambda: force(
-            pagerank_fixed(g_dir, n_iter=5, distribute_sinks=NO_SINK_HANDLING,
-                           checkpoint_every=5, prepared=prep)
-        ),
+    graph_queries = (
+        "pagerank_prepare", "pagerank_5iter", "cc_converge",
+        "plp_2iter", "triangle_total",
     )
-    extra["pagerank_edges_per_sec"] = round(5 * m / times["pagerank_5iter"], 1)
-    prep.unpersist()
+    if wanted(*graph_queries):
+        edges = spark.read.parquet(edges_path).persist()
+        m = edges.count()
+        extra["arcs"] = m
+        print(f"graph: {m} arcs", file=sys.stderr)
+        g_dir = Graph.from_edges(edges, directed=True, num_partitions=128)
 
-    und = (
-        edges.select(F.least("src", "dst").alias("src"),
-                     F.greatest("src", "dst").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        .withColumn("weight", F.lit(1.0))
-    )
-    g_und = Graph.from_edges(und, directed=False, num_partitions=128)
-    timed("cc_converge", lambda: force(connected_components_twophase(g_und).labels))
-    timed("plp_2iter", lambda: force(label_propagation_fixed(g_und, n_iter=2)))
-    timed("triangle_total", lambda: triangles(g_und).count())
-    edges.unpersist()
+        if wanted("pagerank_prepare", "pagerank_5iter"):
+            prep = timed("pagerank_prepare", lambda: PreparedPageRank(g_dir)) \
+                or PreparedPageRank(g_dir)
+            timed(
+                "pagerank_5iter",
+                lambda: force(
+                    pagerank_fixed(g_dir, n_iter=5,
+                                   distribute_sinks=NO_SINK_HANDLING,
+                                   checkpoint_every=5, prepared=prep)
+                ),
+            )
+            if "pagerank_5iter" in times:
+                extra["pagerank_edges_per_sec"] = round(
+                    5 * m / times["pagerank_5iter"], 1
+                )
+            prep.unpersist()
+
+        if wanted("cc_converge", "plp_2iter", "triangle_total"):
+            und = (
+                edges.select(F.least("src", "dst").alias("src"),
+                             F.greatest("src", "dst").alias("dst"))
+                .dropDuplicates(["src", "dst"])
+                .withColumn("weight", F.lit(1.0))
+            )
+            g_und = Graph.from_edges(und, directed=False, num_partitions=128)
+            timed("cc_converge",
+                  lambda: force(connected_components_twophase(g_und).labels))
+            timed("plp_2iter",
+                  lambda: force(label_propagation_fixed(g_und, n_iter=2)))
+            timed("triangle_total", lambda: triangles(g_und).count())
+        edges.unpersist()
 
     # 10x documents: copy 0 verbatim (exact LSH behavior preserved),
     # copies 1-9 with an id offset and a distinct salt token appended —
     # near-dups of the original (high n-gram Jaccard), so the candidate
     # pipeline carries ~10-doc near-dup groups, the workload shape a
     # dedup pass sees on a crawl with mirrored pages.
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    n_docs = docs.count()
-    copies = [docs]
-    for i in range(1, 10):
-        copies.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.concat("text", F.lit(f" copysalt{i}")).alias("text"),
-                "lang", "source", "n_chars",
+    if wanted("near_dup_lsh_10x"):
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        copies = [docs]
+        for i in range(1, 10):
+            copies.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.concat("text", F.lit(f" copysalt{i}")).alias("text"),
+                    "lang", "source", "n_chars",
+                )
             )
-        )
-    docs10 = copies[0]
-    for c in copies[1:]:
-        docs10 = docs10.unionByName(c)
-    docs10 = docs10.repartition(64).persist()
-    extra["docs"] = docs10.count()
-    timed("near_dup_lsh_10x", lambda: force(near_duplicates(docs10, threshold=0.5)))
-    docs10.unpersist()
+        docs10 = copies[0]
+        for c in copies[1:]:
+            docs10 = docs10.unionByName(c)
+        docs10 = docs10.repartition(64).persist()
+        extra["docs"] = docs10.count()
+        timed("near_dup_lsh_10x",
+              lambda: force(near_duplicates(docs10, threshold=0.5)))
+        docs10.unpersist()
 
+    # Merge into an existing artifact (subset reruns after a crash keep
+    # the queries they didn't re-measure).
     payload = {
         "metric": "tenx_rehearsal_wall",
-        "value": round(sum(times.values()), 3),
+        "queries": {},
+        "shuffle": {},
+        "extra": {},
         "unit": "sec",
-        "queries": times,
-        "shuffle": shuffles,
-        "extra": extra,
         "rmat": {"scale": RMAT_SCALE, "edge_factor": EDGE_FACTOR},
     }
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            payload.update(json.load(fh))
+    payload["queries"].update(times)
+    payload["shuffle"].update(shuffles)
+    payload["extra"].update(extra)
+    payload["value"] = round(sum(payload["queries"].values()), 3)
     with open(OUT, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
