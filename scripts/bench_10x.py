@@ -94,6 +94,31 @@ def main():
     # crash; results merge into the existing BENCH_r4_10x.json.
     only = set(filter(None, os.environ.get("TENX_ONLY", "").split(",")))
 
+    # Optional label suffix for subset reruns at a different scale (e.g.
+    # TENX_RMAT=23 TENX_LABEL_SUFFIX=_2p23 TENX_ONLY=triangle_total).
+    suffix = os.environ.get("TENX_LABEL_SUFFIX", "")
+
+    def _flush():
+        """Crash-proof incremental artifact write (merge with existing)."""
+        payload = {
+            "metric": "tenx_rehearsal_wall",
+            "queries": {},
+            "shuffle": {},
+            "extra": {},
+            "unit": "sec",
+            "rmat": {"scale": RMAT_SCALE, "edge_factor": EDGE_FACTOR},
+        }
+        if os.path.exists(OUT):
+            with open(OUT) as fh:
+                payload.update(json.load(fh))
+        payload["queries"].update(times)
+        payload["shuffle"].update(shuffles)
+        payload["extra"].update(extra)
+        payload["value"] = round(sum(payload["queries"].values()), 3)
+        with open(OUT, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        return payload
+
     def timed(name, fn):
         if only and name not in only:
             print(f"{name}: skipped (TENX_ONLY)", file=sys.stderr)
@@ -103,12 +128,14 @@ def main():
         out = fn()
         dt = time.perf_counter() - t0
         w1, peak = shuffle_stats(app_id)
-        times[name] = round(dt, 3)
-        shuffles[name] = {
+        times[name + suffix] = round(dt, 3)
+        shuffles[name + suffix] = {
             "shuffle_write_bytes": w1 - w0,
             "peak_stage_shuffle_bytes": peak,
+            "rmat_scale": RMAT_SCALE,
         }
         print(f"{name}: {dt:.2f}s shuffleΔ={(w1-w0)/2**30:.2f}GiB", file=sys.stderr)
+        _flush()
         return out
 
     def force(df):
@@ -185,25 +212,7 @@ def main():
               lambda: force(near_duplicates(docs10, threshold=0.5)))
         docs10.unpersist()
 
-    # Merge into an existing artifact (subset reruns after a crash keep
-    # the queries they didn't re-measure).
-    payload = {
-        "metric": "tenx_rehearsal_wall",
-        "queries": {},
-        "shuffle": {},
-        "extra": {},
-        "unit": "sec",
-        "rmat": {"scale": RMAT_SCALE, "edge_factor": EDGE_FACTOR},
-    }
-    if os.path.exists(OUT):
-        with open(OUT) as fh:
-            payload.update(json.load(fh))
-    payload["queries"].update(times)
-    payload["shuffle"].update(shuffles)
-    payload["extra"].update(extra)
-    payload["value"] = round(sum(payload["queries"].values()), 3)
-    with open(OUT, "w") as fh:
-        json.dump(payload, fh, indent=1)
+    payload = _flush()
     print(json.dumps(payload))
     spark.stop()
 
