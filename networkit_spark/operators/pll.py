@@ -166,11 +166,14 @@ def pruned_landmark_labeling(
                 pass
 
     def _roots(b0: int) -> DataFrame:
-        return F.broadcast(
-            ranks.filter(
-                (F.col("rank") >= b0) & (F.col("rank") < b0 + batch_size)
-            ).select("rank", F.col("id").alias("root"))
-        )
+        # No frame-level broadcast hint: one consumer is the frontier
+        # INIT (a plain select, no join), where the hint is unusable and
+        # Spark logs a HintErrorLogger warning per batch. The frame is
+        # batch_size rows of a truncated table with real stats — every
+        # actual join against it auto-broadcasts.
+        return ranks.filter(
+            (F.col("rank") >= b0) & (F.col("rank") < b0 + batch_size)
+        ).select("rank", F.col("id").alias("root"))
 
     if not graph.directed:
         labels = truncate(spark.createDataFrame([], "id long, hub long, dist long"))
