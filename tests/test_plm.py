@@ -122,6 +122,29 @@ def test_plm_planted_cliques_both_paths(spark):
         assert is_proper_clustering(g, res.labels)
 
 
+def test_plm_labels_partition_count_invariant(spark):
+    """The distributed move phase pins a data-proportional partition
+    count (m_arcs // 50k, floor 8) — labels must be EXACTLY identical
+    whatever layout the phase runs under (exact aggregations,
+    deterministic struct-max tie-break, hash gate; no partition-order
+    dependence). Locks the r4 m_arcs partition-scaling change."""
+    edges = erdos_renyi(60, 0.08, seed=13)
+    g = Graph.from_pairs(spark, edges, directed=False, n=60)
+    baseline = None
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            res = plm(g, local_threshold=0)
+            got = {r["id"]: r["label"] for r in res.labels.collect()}
+            if baseline is None:
+                baseline = got
+            else:
+                assert got == baseline
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_plm_karate_quality(spark):
     """Known Louvain territory: Zachary karate club optimum Q ≈ 0.4198;
     any reasonable Louvain lands ≥ 0.38 with a handful of communities."""
