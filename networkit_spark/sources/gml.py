@@ -139,6 +139,17 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
         return read_mtx(spark, path)
     if ext in (".graph", ".metis"):
         return read_metis(spark, path)
+    if ext.startswith(".nkbg") or ext in (".nkb", ".nkbg"):
+        from networkit_spark.sources.nkbg import read_networkit_binary
+
+        return read_networkit_binary(spark, path)
+
+    # Binary magic peek before any text decode (nkbg files are binary).
+    with open(path, "rb") as fh:
+        if fh.read(4) == b"nkbg":
+            from networkit_spark.sources.nkbg import read_networkit_binary
+
+            return read_networkit_binary(spark, path)
 
     with open(path, encoding="utf-8", errors="replace") as fh:
         head = [line for line in (fh.readline() for _ in range(50)) if line]

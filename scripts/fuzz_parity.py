@@ -925,5 +925,168 @@ CHECKS.update({
 })
 
 
+# --------------------------- wave 7: pagerank / kcore / suitor / quality
+def check_pagerank_fuzz(spark, rng):
+    """pagerank_fixed vs a dict power-iteration oracle replicating the
+    engine's stated semantics: 1/n init, teleport (1-d)/n, weighted
+    out-degree shares, optional sink redistribution, and the directed +
+    NO_SINK_HANDLING final L1-normalize (PageRank.cpp:118-122 parity)."""
+    from networkit_spark.operators.pagerank import (
+        DISTRIBUTE_SINKS,
+        NO_SINK_HANDLING,
+        pagerank_fixed,
+    )
+
+    n = rng.randint(3, 13)
+    directed = rng.random() < 0.6
+    weighted = rng.random() < 0.5
+    mode = DISTRIBUTE_SINKS if rng.random() < 0.5 else NO_SINK_HANDLING
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < rng.uniform(0.1, 0.4)]
+    if not directed:
+        pairs = [(u, v) for u, v in pairs if u < v]
+    if not pairs:
+        return
+    triples = [(u, v, round(rng.uniform(0.5, 4.0), 3) if weighted else 1.0)
+               for u, v in pairs]
+    g = Graph.from_pairs(spark, triples, directed=directed, n=n,
+                         weighted=weighted)
+    iters = rng.randint(1, 6)
+    damp = rng.choice([0.85, 0.5, 0.99])
+    got = {r["id"]: r["score"]
+           for r in pagerank_fixed(g, iters, damp=damp,
+                                   distribute_sinks=mode).collect()}
+
+    arcs = {}
+    for u, v, w in triples:
+        arcs.setdefault(u, {})[v] = arcs.get(u, {}).get(v, 0.0) + w
+        if not directed and u != v:
+            arcs.setdefault(v, {})[u] = arcs.get(v, {}).get(u, 0.0) + w
+    wdeg = {u: sum(nb.values()) for u, nb in arcs.items()}
+    score = {u: 1.0 / n for u in range(n)}
+    handle_sinks = directed and mode == DISTRIBUTE_SINKS and any(
+        u not in arcs for u in range(n))
+    for _ in range(iters):
+        sink_mass = sum(score[u] for u in range(n) if u not in arcs)
+        new = {}
+        for u in range(n):
+            acc = 0.0
+            for v in range(n):
+                if v in arcs and u in arcs[v]:
+                    acc += score[v] * arcs[v][u] / wdeg[v]
+            new[u] = (1.0 - damp) / n + damp * acc
+            if handle_sinks:
+                new[u] += damp * sink_mass / n
+        score = new
+    if directed and mode == NO_SINK_HANDLING:
+        s = sum(score.values())
+        score = {u: x / s for u, x in score.items()}
+    for u in range(n):
+        assert abs(got.get(u, 0.0) - score[u]) < 1e-9, (
+            u, got.get(u), score[u], triples, directed, weighted, mode, iters, damp)
+
+
+def check_core_decomposition(spark, rng):
+    from networkit_spark.operators.centrality import core_decomposition
+
+    n = rng.randint(4, 16)
+    edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                    if rng.random() < rng.uniform(0.15, 0.5)})
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    remaining = set(range(n))
+    core = {}
+    k = 0
+    while remaining:
+        while True:
+            peel = [u for u in remaining if len(adj[u] & remaining) <= k]
+            if not peel:
+                break
+            for u in peel:
+                core[u] = k
+                remaining.discard(u)
+        k += 1
+    assert got == core, (got, core, edges)
+
+
+def check_suitor(spark, rng):
+    """Classic-suitor fixed point == greedy matching over the total edge
+    order (weight desc, canonical pair asc) — the uniqueness property the
+    operator's docstring claims (matching.py)."""
+    from networkit_spark.operators.matching import suitor_matching
+
+    n = rng.randint(4, 14)
+    edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                    if rng.random() < rng.uniform(0.2, 0.5)})
+    if not edges:
+        return
+    # a few deliberate weight ties to exercise the tie-breaks
+    weights = [round(rng.choice([1.0, 2.0, rng.uniform(0.1, 5.0)]), 3)
+               for _ in edges]
+    triples = [(u, v, w) for (u, v), w in zip(edges, weights)]
+    g = Graph.from_pairs(spark, triples, directed=False, n=n, weighted=True)
+    got = sorted((r["u"], r["v"]) for r in suitor_matching(g).collect())
+    matched = set()
+    want = []
+    for (u, v), w in sorted(zip(edges, weights), key=lambda t: (-t[1], t[0])):
+        if u not in matched and v not in matched:
+            matched.update((u, v))
+            want.append((u, v))
+    assert got == sorted(want), (got, sorted(want), triples)
+
+
+def check_quality_measures(spark, rng):
+    """coverage + modularity vs direct-formula oracles (Coverage.cpp /
+    Modularity.cpp:44-82: edges once, vol counts self-loops twice)."""
+    from networkit_spark.operators.quality import coverage, modularity
+
+    n = rng.randint(4, 14)
+    edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                    if rng.random() < rng.uniform(0.2, 0.5)})
+    if rng.random() < 0.4:
+        edges.append((0, 0))  # self-loop path
+    if not edges:
+        return
+    weighted = rng.random() < 0.5
+    triples = [(u, v, round(rng.uniform(0.5, 3.0), 3) if weighted else 1.0)
+               for u, v in edges]
+    g = Graph.from_pairs(spark, triples, directed=False, n=n,
+                         weighted=weighted)
+    n_lab = rng.randint(1, max(2, n // 2))
+    lab = {u: rng.randrange(n_lab) for u in range(n)}
+    labels = spark.createDataFrame(list(lab.items()), "id long, label long")
+
+    m = sum(w for _, _, w in triples)
+    intra = sum(w for u, v, w in triples if lab[u] == lab[v])
+    want_cov = intra / m
+    vol = {u: 0.0 for u in range(n)}
+    for u, v, w in triples:
+        if u == v:
+            vol[u] += 2.0 * w
+        else:
+            vol[u] += w
+            vol[v] += w
+    vol_c = {}
+    for u in range(n):
+        vol_c[lab[u]] = vol_c.get(lab[u], 0.0) + vol[u]
+    want_q = want_cov - sum((x / (2.0 * m)) ** 2 for x in vol_c.values())
+    got_cov = coverage(g, labels)
+    got_q = modularity(g, labels)
+    assert abs(got_cov - want_cov) < 1e-9, (got_cov, want_cov, triples, lab)
+    assert abs(got_q - want_q) < 1e-9, (got_q, want_q, triples, lab)
+
+
+CHECKS.update({
+    "pagerank": check_pagerank_fuzz,
+    "kcore": check_core_decomposition,
+    "suitor": check_suitor,
+    "quality": check_quality_measures,
+})
+
+
 if __name__ == "__main__":
     main()
