@@ -1088,5 +1088,163 @@ CHECKS.update({
 })
 
 
+# ------------------ wave 8: assortativity / toposort / bipartite / nf
+def check_assortativity(spark, rng):
+    """attribute_assortativity vs a direct Pearson-r oracle over the
+    edges-once pair table (canonical orientation, self-loops once)."""
+    from networkit_spark.operators.correlation import attribute_assortativity
+
+    n = rng.randint(4, 14)
+    directed = rng.random() < 0.5
+    pairs = sorted({(u, v) for u in range(n) for v in range(n)
+                    if rng.random() < rng.uniform(0.15, 0.4)
+                    and (directed or u < v) and u != v})
+    if len(pairs) < 2:
+        return
+    g = Graph.from_pairs(spark, pairs, directed=directed, n=n)
+    vals = {u: round(rng.uniform(-2.0, 5.0), 3) for u in range(n)}
+    attrs = spark.createDataFrame(list(vals.items()), "id long, value double")
+    got = attribute_assortativity(g, attrs)
+    xs = [vals[u] for u, _ in pairs]
+    ys = [vals[v] for _, v in pairs]
+    m = len(pairs)
+    xm = sum(xs) / m
+    ym = sum(ys) / m
+    a = sum((x - xm) * (y - ym) for x, y in zip(xs, ys))
+    b = sum((x - xm) ** 2 for x in xs)
+    c = sum((y - ym) ** 2 for y in ys)
+    denom = (b * c) ** 0.5
+    if denom <= 0:
+        assert got != got  # NaN
+    else:
+        assert abs(got - a / denom) < 1e-9, (got, a / denom, pairs, vals)
+
+
+def check_toposort(spark, rng):
+    """Kahn levels vs a dict oracle; cycles must raise."""
+    from networkit_spark.operators.traversal import topological_sort
+
+    n = rng.randint(3, 12)
+    arcs = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                   if rng.random() < rng.uniform(0.15, 0.45)})  # DAG: low → high
+    cyclic = rng.random() < 0.3 and arcs
+    if cyclic:
+        u, v = arcs[rng.randrange(len(arcs))]
+        arcs.append((v, u))
+    g = Graph.from_pairs(spark, arcs, directed=True, n=n)
+    if cyclic:
+        try:
+            topological_sort(g).collect()
+            raise AssertionError(f"cycle not detected: {arcs}")
+        except ValueError:
+            return
+    got = {r["id"]: r["level"] for r in topological_sort(g).collect()}
+    indeg = {u: 0 for u in range(n)}
+    for _, v in arcs:
+        indeg[v] += 1
+    remaining = set(range(n))
+    level = 0
+    want = {}
+    while remaining:
+        zero = [u for u in remaining if indeg[u] == 0]
+        for u in zero:
+            want[u] = level
+            remaining.discard(u)
+            for (a, b) in arcs:
+                if a == u:
+                    indeg[b] -= 1
+        level += 1
+    assert got == want, (got, want, arcs)
+
+
+def check_bipartite(spark, rng):
+    from networkit_spark.operators.traversal import is_bipartite
+
+    n = rng.randint(4, 14)
+    if rng.random() < 0.5:
+        # construct a guaranteed-bipartite graph, then maybe break it
+        left = set(rng.sample(range(n), rng.randint(1, n - 1)))
+        edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                        if ((u in left) != (v in left))
+                        and rng.random() < rng.uniform(0.2, 0.5)})
+    else:
+        edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                        if rng.random() < rng.uniform(0.2, 0.5)})
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = is_bipartite(g)
+    # oracle: BFS 2-coloring per component
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    color = {}
+    ok = True
+    for s in range(n):
+        if s in color:
+            continue
+        color[s] = 0
+        queue = [s]
+        while queue and ok:
+            u = queue.pop()
+            for v in adj[u]:
+                if v not in color:
+                    color[v] = 1 - color[u]
+                    queue.append(v)
+                elif color[v] == color[u]:
+                    ok = False
+                    break
+    assert got == ok, (got, ok, edges)
+
+
+def check_neighborhood_function(spark, rng):
+    """Exact hop-plot vs a BFS-all-pairs oracle (connected undirected
+    input per the operator's contract)."""
+    from networkit_spark.operators.distances import neighborhood_function
+
+    n = rng.randint(4, 12)
+    edges = {(u, rng.randrange(u)) for u in range(1, n)}  # random spanning tree
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    edges |= {(u, v) for u in range(n) for v in range(u + 1, n)
+              if rng.random() < 0.15}
+    edges = sorted(edges)
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = {r["dist"]: r["n_pairs"] for r in neighborhood_function(g).collect()}
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts = {}
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for t, dd in dist.items():
+            if dd > 0:
+                counts[dd] = counts.get(dd, 0) + 1
+    want = {}
+    acc = 0
+    for d in sorted(counts):
+        acc += counts[d]
+        want[d] = acc
+    assert got == want, (got, want, edges)
+
+
+CHECKS.update({
+    "assort": check_assortativity,
+    "toposort": check_toposort,
+    "bipartite": check_bipartite,
+    "nf": check_neighborhood_function,
+})
+
+
 if __name__ == "__main__":
     main()
