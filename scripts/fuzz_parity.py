@@ -1246,5 +1246,179 @@ CHECKS.update({
 })
 
 
+# ---------------------- wave 9: biconnected / diameter / effective diam
+def _tarjan_biconnected(n, edges):
+    """Iterative edge-stack Tarjan: returns (list of blocks as node
+    frozensets, articulation point set)."""
+    adj = {v: [] for v in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    disc = {}
+    low = {}
+    blocks = []
+    arts = set()
+    counter = [0]
+    for root in range(n):
+        if root in disc or not adj[root]:
+            continue
+        estack = []
+        root_children = 0
+        # stack entries: (node, parent, neighbor index)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = counter[0]
+        counter[0] += 1
+        while stack:
+            u, parent, i = stack.pop()
+            advanced = False
+            while i < len(adj[u]):
+                v = adj[u][i]
+                i += 1
+                if v == parent:
+                    parent = -2  # skip the tree edge to parent ONCE
+                    continue
+                if v not in disc:
+                    if u == root:
+                        root_children += 1
+                    estack.append((u, v))
+                    disc[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append((u, parent, i))
+                    stack.append((v, u, 0))
+                    advanced = True
+                    break
+                if disc[v] < disc[u]:
+                    estack.append((u, v))
+                    low[u] = min(low[u], disc[v])
+            if advanced:
+                continue
+            # u finished: propagate low to its parent frame, emit block
+            if stack:
+                pu = stack[-1][0]
+                low[pu] = min(low[pu], low[u])
+                if low[u] >= disc[pu]:
+                    block = set()
+                    while estack:
+                        a, b = estack.pop()
+                        block.update((a, b))
+                        if (a, b) == (pu, u):
+                            break
+                    blocks.append(frozenset(block))
+                    if pu != root:
+                        arts.add(pu)
+        if root_children > 1:
+            arts.add(root)
+    return blocks, arts
+
+
+def check_biconnected(spark, rng):
+    from networkit_spark.operators.biconnected import biconnected_components
+
+    n = rng.randint(4, 13)
+    edges = sorted({(u, v) for u in range(n) for v in range(u + 1, n)
+                    if rng.random() < rng.uniform(0.15, 0.45)})
+    if not edges:
+        return
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    res = biconnected_components(g)
+    rows = res.node_blocks.collect()
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r["block"], set()).add(r["id"])
+    got_blocks = sorted(sorted(b) for b in by_block.values())
+    got_arts = sorted(r["id"] for r in res.articulation_points().collect())
+    want_blocks_fs, want_arts_tarjan = _tarjan_biconnected(n, edges)
+    want_blocks = sorted(sorted(b) for b in want_blocks_fs)
+    member_count = {}
+    for b in want_blocks_fs:
+        for u in b:
+            member_count[u] = member_count.get(u, 0) + 1
+    want_arts = sorted(u for u, c in member_count.items() if c > 1)
+    # internal consistency of the oracle itself
+    assert want_arts == sorted(want_arts_tarjan), (
+        "oracle disagreement", want_arts, sorted(want_arts_tarjan), edges)
+    assert got_blocks == want_blocks, (got_blocks, want_blocks, edges)
+    assert got_arts == want_arts, (got_arts, want_arts, edges)
+
+
+def _bfs_ecc(adj, s):
+    dist = {s: 0}
+    frontier = [s]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def check_diameter(spark, rng):
+    """diameter_exact vs all-sources BFS; double sweep is a valid lower
+    bound everywhere and exact on trees."""
+    from networkit_spark.operators.distances import (
+        diameter_double_sweep,
+        diameter_exact,
+    )
+
+    n = rng.randint(3, 12)
+    tree_only = rng.random() < 0.3
+    edges = {(u, rng.randrange(u)) for u in range(1, n)}
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    if not tree_only:
+        edges |= {(u, v) for u in range(n) for v in range(u + 1, n)
+                  if rng.random() < 0.12}
+    edges = sorted(edges)
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = max(max(_bfs_ecc(adj, s).values()) for s in range(n))
+    got = diameter_exact(g)
+    assert got == want, (got, want, edges)
+    ds = diameter_double_sweep(g)
+    assert ds <= want, (ds, want, edges)
+    if len(edges) == n - 1:
+        assert ds == want, ("double sweep not exact on tree", ds, want, edges)
+
+
+def check_effective_diameter(spark, rng):
+    from networkit_spark.operators.distances import effective_diameter_exact
+
+    n = rng.randint(4, 12)
+    edges = {(u, rng.randrange(u)) for u in range(1, n)}  # connected
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    edges |= {(u, v) for u in range(n) for v in range(u + 1, n)
+              if rng.random() < 0.15}
+    edges = sorted(edges)
+    ratio = rng.choice([0.9, 0.5, 0.75])
+    g = Graph.from_pairs(spark, edges, directed=False, n=n)
+    got = effective_diameter_exact(g, ratio=ratio)
+    adj = {v: set() for v in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    import math as _m
+    threshold = int(_m.ceil(ratio * n))
+    total = 0.0
+    for s in range(n):
+        ds = sorted(_bfs_ecc(adj, s).values())
+        total += max(1, ds[threshold - 1])
+    want = total / n
+    assert abs(got - want) < 1e-9, (got, want, ratio, edges)
+
+
+CHECKS.update({
+    "biconnected": check_biconnected,
+    "diameter": check_diameter,
+    "effdiam": check_effective_diameter,
+})
+
+
 if __name__ == "__main__":
     main()
