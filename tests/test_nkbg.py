@@ -79,6 +79,29 @@ def test_zigzag_sign_in_lsb():
     assert np.array_equal(zigzag_decode(enc), v)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=1, max_size=50))
+    def test_varint_roundtrip_property(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        enc, lens = varint_encode_block(arr)
+        assert enc.tobytes() == b"".join(_encode_one_spec(v) for v in vals)
+        assert np.array_equal(varint_decode_block(enc), arr)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+                    min_size=1, max_size=50))
+    def test_zigzag_roundtrip_property(vals):
+        arr = np.array(vals, dtype=np.int64)
+        assert np.array_equal(zigzag_decode(zigzag_encode(arr)), arr)
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_bad_magic_raises(tmp_path):
     p = tmp_path / "bad.nkbg"
     p.write_bytes(b"nkbXXXXX" + b"\x00" * 88)
