@@ -38,6 +38,7 @@ Spark plan per superstep:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -66,17 +67,35 @@ class PLPResult:
 
 
 def _heaviest_labels(labels: DataFrame, sym: DataFrame,
-                     active: DataFrame | None = None) -> DataFrame:
+                     active: DataFrame | None = None,
+                     broadcast_labels: bool = False,
+                     repartition_nid: int | None = None) -> DataFrame:
     """One synchronous sweep: (id, heaviest) for every node with ≥1 neighbor.
 
     active: optional node set — the semi-join is pushed BELOW the
     aggregation so inactive nodes' messages are never aggregated (the
-    dominant cost in tail supersteps)."""
-    msgs = labels.join(sym, labels.id == sym.src).select(
+    dominant cost in tail supersteps).
+
+    Shuffle shape (the 10×-scale lever — r4's 2-sweep run shuffled
+    54 GiB because EVERY sweep exchanged the full message table twice,
+    once on (nid,label) for the weight agg and once on nid for the
+    argmax):
+    - broadcast_labels=True (label frame fits a broadcast): the join
+      adds NO exchange, and with `sym` persisted hash-partitioned by
+      dst the messages are BORN clustered on nid — both aggregations
+      run partition-locally.  Zero m-row shuffle per sweep.
+    - else repartition_nid=N exchanges the messages ONCE on hash(nid);
+      hash(nid) satisfies the clustering of BOTH downstream groupings
+      ((nid,label) ⊇ nid and (nid)), so neither aggregation adds an
+      exchange: one m-row shuffle per sweep instead of two."""
+    lbl = F.broadcast(labels) if broadcast_labels else labels
+    msgs = lbl.join(sym, lbl.id == sym.src).select(
         F.col("dst").alias("nid"), "label", "weight"
     )
     if active is not None:
         msgs = msgs.join(active.select(F.col("id").alias("nid")), "nid", "left_semi")
+    if repartition_nid:
+        msgs = msgs.repartition(repartition_nid, "nid")
     lw = msgs.groupBy("nid", "label").agg(F.sum("weight").alias("w"))
     # argmax(w desc, label asc) as a lexicographic struct-max: a pure hash
     # aggregation (partial+final) instead of a sort-based window — same
@@ -115,16 +134,25 @@ def label_propagation(
     it ≤ ~4; values > 4 are clamped."""
     spark = graph.edges.sparkSession
     ckpt = checkpointer or Checkpointer(spark, None, algorithm="plp")
-    # Self-loops participate in the label weighing (reference forNeighborsOf
-    # yields them), so keep them in the message table.
-    sym = graph.symmetrized_edges().repartition(
-        graph.num_partitions or spark.sparkContext.defaultParallelism, "src"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+    num = graph.num_partitions or spark.sparkContext.defaultParallelism
 
     vertices = graph.vertices()
     n = vertices.count()
     threshold = update_threshold if update_threshold is not None else int(n / 1e5)
+
+    # Regime pick (see _heaviest_labels): when the label frame is small
+    # enough to broadcast every sweep, persist the edges partitioned by
+    # DST so message aggregation never exchanges an edge-sized table; at
+    # web scale (n beyond broadcast reach) fall back to src partitioning
+    # + one nid exchange per sweep.
+    broadcast_mode = n <= int(os.environ.get("NKS_PLP_BROADCAST_N", "8000000"))
+    part_key = "dst" if broadcast_mode else "src"
+    # Self-loops participate in the label weighing (reference forNeighborsOf
+    # yields them), so keep them in the message table.
+    sym = graph.symmetrized_edges().repartition(num, part_key).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
 
     if base_labels is not None:
         labels = vertices.join(base_labels, "id", "left").select(
@@ -151,7 +179,11 @@ def label_propagation(
     while n_updated > threshold and iterations < max_iterations:
         labels = state.select("id", "label")
         active_set = state.filter("active").select("id") if use_active_set else None
-        heaviest = _heaviest_labels(labels, sym, active_set)
+        heaviest = _heaviest_labels(
+            labels, sym, active_set,
+            broadcast_labels=broadcast_mode,
+            repartition_nid=None if broadcast_mode else num,
+        )
 
         merged = (
             state.select("id", F.col("label").alias("old_label"))
@@ -166,13 +198,23 @@ def label_propagation(
         )
 
         if use_active_set:
-            # active' = changed ∪ N(changed) (PLP.cpp:98-104 bookkeeping)
+            # active' = changed ∪ N(changed) (PLP.cpp:98-104 bookkeeping).
+            # sym is symmetric, so neighbors can be gathered from either
+            # side — pick the side sym is partitioned on, keeping the
+            # expansion join co-located (only `changed` shuffles).
             changed_ids = merged.filter("changed").select("id")
-            nbrs = (
-                changed_ids.join(sym, changed_ids.id == sym.src)
-                .select(F.col("dst").alias("id"))
-                .distinct()
-            )
+            if broadcast_mode:
+                nbrs = (
+                    changed_ids.join(sym, changed_ids.id == sym.dst)
+                    .select(F.col("src").alias("id"))
+                    .distinct()
+                )
+            else:
+                nbrs = (
+                    changed_ids.join(sym, changed_ids.id == sym.src)
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                )
             active = changed_ids.unionByName(nbrs).distinct().withColumn(
                 "active", F.lit(True)
             )

@@ -139,7 +139,7 @@ def read_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
         return read_mtx(spark, path)
     if ext in (".graph", ".metis"):
         return read_metis(spark, path)
-    if ext.startswith(".nkbg") or ext in (".nkb", ".nkbg"):
+    if ext.startswith(".nkbg"):
         from networkit_spark.sources.nkbg import read_networkit_binary
 
         return read_networkit_binary(spark, path)

@@ -134,7 +134,11 @@ def varint_encode_block(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         (_U64(1) << dbu[small]) | ((v[small] << (dbu[small] + _U64(1))) & _U64(0xFF))
     ).astype(np.uint8)
     out[offs[:-1]] = hdr
-    rem = np.where(full, v, v >> (_U64(7) - dbu))
+    # Shift only on the `small` lanes: for 9-byte values (db==8) the shift
+    # amount 7-dbu would underflow to 2^64-1, and numpy uint64 shifts >= 64
+    # are C-level undefined.  Full-width values carry v itself.
+    rem = v.copy()
+    rem[small] = v[small] >> (_U64(7) - dbu[small])
     for i in range(8):
         m = db > i
         if not m.any():
@@ -182,11 +186,19 @@ def _parse_header(path: str) -> dict:
     with open(path, "rb") as fh:
         head = fh.read(96)
     if head[:8] == _MAGIC_V3:
+        if len(head) < 96:
+            raise ValueError(
+                f"corrupt nkbg header: {path} is {len(head)} bytes, "
+                "nkbg003 needs a 96-byte header")
         version = 3
         fields = struct.unpack_from("<11Q", head, 8)
         (checksum, features, nodes, chunks, off_base, off_adj, off_transp,
          off_w, off_wt, off_id, off_idt) = fields
     elif head[:8] == _MAGIC_V2:
+        if len(head) < 80:
+            raise ValueError(
+                f"corrupt nkbg header: {path} is {len(head)} bytes, "
+                "nkbg002 needs an 80-byte header")
         version = 2
         fields = struct.unpack_from("<9Q", head, 8)
         (checksum, features, nodes, chunks, off_base, off_adj, off_transp,
@@ -195,6 +207,16 @@ def _parse_header(path: str) -> dict:
     else:
         raise ValueError("Reader expected another magic value")
     wfmt = (features & 0xE) >> 1
+    size = os.path.getsize(path)
+    block_offs = [off_base, off_adj, off_transp, off_w, off_wt]
+    if version >= 3:
+        block_offs += [off_id, off_idt]
+    nonzero = [o for o in block_offs if o]
+    if any(b < a for a, b in zip(nonzero, nonzero[1:])) or any(
+            o > size for o in nonzero):
+        raise ValueError(
+            f"corrupt nkbg header: block offsets {nonzero} are not "
+            f"monotonically ordered within the {size}-byte file")
     return {
         "version": version,
         "directed": bool(features & 0x1),
@@ -209,7 +231,7 @@ def _parse_header(path: str) -> dict:
         "off_wt": int(off_wt),
         "off_id": int(off_id),
         "off_idt": int(off_idt),
-        "file_size": os.path.getsize(path),
+        "file_size": size,
     }
 
 
@@ -340,6 +362,10 @@ def _half_edges_df(spark: SparkSession, path: str, hdr: dict, specs: list[dict],
                           pa.array(weight, pa.float64())]
                 names = ["src", "dst", "weight"]
                 if want_ids:
+                    if eid is None and len(dst):
+                        raise ValueError(
+                            "indexed nkbg file: chunk has edges but an "
+                            "empty edge-id byte range (block does not align)")
                     arrays.append(pa.array(
                         eid if eid is not None else np.zeros(len(dst), np.int64),
                         pa.int64()))

@@ -109,6 +109,47 @@ def test_bad_magic_raises(tmp_path):
         _parse_header(str(p))
 
 
+def test_short_header_raises_value_error(tmp_path):
+    # A file shorter than its version's header must raise ValueError,
+    # not a bare struct.error (ADVICE r4).
+    p3 = tmp_path / "short.nkbg003"
+    p3.write_bytes(b"nkbg003\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="corrupt nkbg header"):
+        _parse_header(str(p3))
+    p2 = tmp_path / "short.nkbg002"
+    p2.write_bytes(b"nkbg002\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="corrupt nkbg header"):
+        _parse_header(str(p2))
+
+
+def test_disordered_offsets_raise(tmp_path):
+    # Non-monotone block offsets (or offsets past EOF) must be rejected
+    # with a descriptive message instead of confusing downstream errors.
+    p = tmp_path / "disordered.nkbg003"
+    vals = [0, 0, 4, 1,
+            200, 150, 0, 0, 0, 0, 0]  # off_adj < off_base
+    p.write_bytes(b"nkbg003\x00" + struct.pack("<11Q", *vals) + b"\x00" * 200)
+    with pytest.raises(ValueError, match="corrupt nkbg header"):
+        _parse_header(str(p))
+    p2 = tmp_path / "pasteof.nkbg003"
+    vals2 = [0, 0, 4, 1, 96, 10**9, 0, 0, 0, 0, 0]  # off_adj beyond EOF
+    p2.write_bytes(b"nkbg003\x00" + struct.pack("<11Q", *vals2) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="corrupt nkbg header"):
+        _parse_header(str(p2))
+
+
+def test_varint_nine_byte_values_no_undefined_shift():
+    # db==8 lanes must not evaluate a >=64-bit shift even in a discarded
+    # branch (ADVICE r4): encode a block of only-full-width values mixed
+    # with small ones and check exact bytes + round-trip.
+    vals = np.array([(1 << 64) - 1, 1, (1 << 56), 127, (1 << 63)],
+                    dtype=np.uint64)
+    ref = b"".join(_encode_one_spec(int(v)) for v in vals)
+    enc, lens = varint_encode_block(vals)
+    assert enc.tobytes() == ref
+    assert np.array_equal(varint_decode_block(enc), vals)
+
+
 # ------------------------------------------------------------- golden
 
 

@@ -104,3 +104,74 @@ def test_extract_largest_component(spark):
     assert ids == [0, 1, 2, 4, 8, 16, 19]
     compacted = extract_largest_connected_component(g, compact=True)
     assert sorted(r["id"] for r in compacted.vertices().collect()) == list(range(7))
+
+
+def test_partition_vs_join_methods_identical(spark):
+    """The partition-local color-triple plan (r5 default) must agree with
+    the join plan exactly — enumeration, corner counts, edge scores,
+    totals — across several p values including p larger than the vertex
+    color diversity."""
+    from networkit_spark.operators.triangles import (
+        triangle_edge_scores, triangles)
+
+    edges = erdos_renyi(60, 0.15, seed=11)
+    g = Graph.from_pairs(spark, edges, directed=False, n=60)
+    tj = sorted(map(tuple, triangles(g, method="join").collect()))
+    for p in (3, 4, 7):
+        tp = sorted(map(tuple, triangles(g, method="partition", p=p).collect()))
+        assert tp == tj, p
+    cj = {r["id"]: r["triangles"]
+          for r in triangle_counts(g, method="join").collect()}
+    cp = {r["id"]: r["triangles"]
+          for r in triangle_counts(g, method="partition").collect()}
+    assert cj == cp
+    ej = {(r["u"], r["v"]): r["triangles"]
+          for r in triangle_edge_scores(g, method="join").collect()}
+    ep = {(r["u"], r["v"]): r["triangles"]
+          for r in triangle_edge_scores(g, method="partition").collect()}
+    assert ej == ep
+    assert (total_triangles(g, method="join")
+            == total_triangles(g, method="partition") == len(tj))
+
+
+def test_partition_kernel_chunking(monkeypatch):
+    """Drive the numpy subproblem kernel directly (no Spark) with the
+    wedge chunker forced down to tiny chunks, so chunk boundaries inside
+    a tail group are exercised; every chunk size must enumerate the same
+    triangle set.  Single subproblem: one color class (p=1-style triple
+    (0,0,0)) holds the whole graph, so the canonical filter passes all."""
+    import pandas as pd
+
+    import networkit_spark.operators.triangles as T
+
+    edges = erdos_renyi(35, 0.3, seed=3)
+    # orient by (degree, id) like _oriented_edges
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    lo, hi = [], []
+    for u, v in edges:
+        a, b = ((u, v) if (deg[u], u) < (deg[v], v) else (v, u))
+        lo.append(a)
+        hi.append(b)
+    pdf = pd.DataFrame({
+        "lo": np.array(lo, dtype=np.int64),
+        "hi": np.array(hi, dtype=np.int64),
+        "c_lo": np.zeros(len(lo), dtype=np.int64),
+        "c_hi": np.zeros(len(lo), dtype=np.int64),
+    })
+    oracle = triangles_oracle(35, edges)
+
+    def enumerate_all():
+        tris = []
+        for tail, bb, cc, verts, _, _, _, _ in T._local_triangle_chunks(
+                pdf, (0, 0, 0)):
+            tris += list(zip(verts[tail], verts[bb], verts[cc]))
+        return sorted(tris)
+
+    baseline = enumerate_all()
+    assert len(baseline) == oracle["total"]
+    for chunk in (1, 2, 7, 64):
+        monkeypatch.setattr(T, "_TRI_CHUNK_PAIRS", chunk)
+        assert enumerate_all() == baseline, chunk
