@@ -256,6 +256,21 @@ def run_attempt(spark, sf_dir: str):
         labels.unpersist()
 
     timed("lfr_plm", lfr_plm)
+
+    def lfr_plm_dist():
+        # Forced-distributed control row (VERDICT r4 #5): local_threshold=0
+        # disables the byte-guarded driver-local tail, so this measures the
+        # pure distributed move/coarsen path — the plan a 100× run lives on.
+        # Labels are asserted identical to the default path in
+        # tests/test_plm.py; here only the wall differs.
+        labels = plm(g_lfr, max_iter=4, local_threshold=0).labels.persist()
+        force(labels)
+        extra["lfr_plm_dist_nmi"] = round(
+            nmi(labels, lfr_truth.withColumnRenamed("community", "label")), 4
+        )
+        labels.unpersist()
+
+    timed("lfr_plm_dist", lfr_plm_dist)
     extra["lfr_edges"] = m_lfr
     lfr_edges.unpersist()
 

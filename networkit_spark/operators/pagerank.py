@@ -75,7 +75,7 @@ class PreparedPageRank:
     re-shuffling the edge table.
     """
 
-    def __init__(self, graph: Graph):
+    def __init__(self, graph: Graph, src_partitioned: bool = False):
         self.graph = graph
         spark = graph.edges.sparkSession
         self.vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
@@ -85,8 +85,17 @@ class PreparedPageRank:
         # rollup and the normalization join are then colocated on it
         # (groupBy/join both satisfied by hash(src)), and the join output
         # keeps that layout for every superstep's gather join.
-        n_part = graph.num_partitions or spark.sparkContext.defaultParallelism
-        e = graph.edges.repartition(n_part, "src")
+        # src_partitioned=True: the edge table ALREADY satisfies hash(src)
+        # clustering — a bucketed parquet/Iceberg table written by
+        # sources/bucketed.py (bucketBy src) — so even that one exchange
+        # is skipped; the bucketed scan's partitioning satisfies the
+        # degree rollup and normalization join directly (plan asserted
+        # exchange-free in tests/test_bucketed.py).
+        if src_partitioned:
+            e = graph.edges
+        else:
+            n_part = graph.num_partitions or spark.sparkContext.defaultParallelism
+            e = graph.edges.repartition(n_part, "src")
         deg = e.groupBy("src").agg(F.sum("weight").alias("deg"))
         self.edges_norm = (
             e.join(deg, "src")

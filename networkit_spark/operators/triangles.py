@@ -159,13 +159,60 @@ def _replicated_edges(graph: Graph, p: int, seed: int = 0x7161) -> DataFrame:
     )
 
 
-def _local_triangle_chunks(pdf: pd.DataFrame, triple):
+def _seg_expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """[starts[r] + k for r in range(len) for k in range(counts[r])]."""
+    tot = int(counts.sum())
+    if tot == 0:
+        return np.empty(0, dtype=starts.dtype)
+    cum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], counts)
+    return np.repeat(starts, counts) + within
+
+
+def _pair_chunks(first, per_first, second_base, chunk):
+    """Common pair generator: for row r emit pairs
+    (first[r], second_base[r] + k), k in [0, per_first[r]) — chunked so
+    at most `chunk` pairs materialize at once. Drives both C(k,2)
+    within-segment pairs and A×B cross-segment products without any
+    per-pair division."""
+    cum = np.zeros(len(first) + 1, dtype=np.int64)
+    np.cumsum(per_first, out=cum[1:])
+    r_start = 0
+    n = len(first)
+    while r_start < n:
+        r_end = int(np.searchsorted(cum, cum[r_start] + chunk, side="right")) - 1
+        r_end = min(max(r_end, r_start + 1), n)
+        c = per_first[r_start:r_end]
+        n_pairs = int(cum[r_end] - cum[r_start])
+        if n_pairs == 0:
+            r_start = r_end
+            continue
+        off = (np.arange(n_pairs, dtype=np.int64)
+               - np.repeat(cum[r_start:r_end] - cum[r_start], c))
+        i_idx = np.repeat(first[r_start:r_end], c)
+        j_idx = np.repeat(second_base[r_start:r_end], c) + off
+        yield i_idx, j_idx
+        r_start = r_end
+
+
+def _local_triangle_chunks(pdf: pd.DataFrame, triple, want_sides: bool = False):
     """Enumerate this subproblem's canonical triangles partition-locally.
+
+    Wedges are generated CANONICAL-ONLY: edges are sorted by
+    (tail, neighbor-color) and per-tail neighbor segments are paired per
+    the triple's color-multiset case — cross-products between the two
+    required colors, C(k,2) within one color — so no wedge is ever
+    generated just to be discarded by a color filter (in a
+    distinct-color subproblem the old generate-then-filter form wasted
+    7/9 of its pairs), and across subproblems the global wedge set is
+    partitioned EXACTLY (each wedge generated once, in its home triple).
 
     Yields (tail, b, c, verts, skey, side_ab, side_ac, side_bc) numpy
     chunks in LOCAL vertex ids (verts maps back; local order == id
     order, preserving the b < c by-id contract); side_* index into the
-    sorted edge-key array skey for edge-score accumulation."""
+    sorted edge-key array skey for edge-score accumulation and are None
+    unless want_sides."""
     lo = pdf["lo"].to_numpy(np.int64)
     hi = pdf["hi"].to_numpy(np.int64)
     if len(lo) == 0:
@@ -173,54 +220,110 @@ def _local_triangle_chunks(pdf: pd.DataFrame, triple):
     c_lo = pdf["c_lo"].to_numpy(np.int64)
     c_hi = pdf["c_hi"].to_numpy(np.int64)
     verts = np.unique(np.concatenate([lo, hi]))
-    l = np.searchsorted(verts, lo)
-    h = np.searchsorted(verts, hi)
-    col = np.empty(len(verts), dtype=np.int64)
+    l = np.searchsorted(verts, lo).astype(np.int32)
+    h = np.searchsorted(verts, hi).astype(np.int32)
+    n_local = len(verts)
+    col = np.empty(n_local, dtype=np.int64)
     col[l] = c_lo
     col[h] = c_hi
-    # membership structure: sorted packed {min,max} local-id pair keys
+    # membership structure: sorted packed {min,max} local-id pair keys,
+    # fronted by a one-shot hash table of bools (~8 bits per edge, ≤8 MiB)
+    # — the closure probe is THE kernel hotspot (measured 71% of wall as
+    # pure searchsorted: log2(m_sub) DRAM-missing loads per wedge), and
+    # the prefilter turns ~88% of probes into a single load, leaving the
+    # binary search only for (triangles + ~12% false positives).
     ekey = (np.minimum(l, h).astype(np.int64) << 32) | np.maximum(l, h)
     skey = np.sort(ekey)
-    # group edges by tail (orientation-minimal endpoint)
-    order = np.argsort(l, kind="stable")
+    table_bits = max(16, min(26, int(np.ceil(np.log2(max(len(skey), 1) * 8)))))
+    _mult = np.uint64(0x9E3779B97F4A7C15)
+    _shift = np.uint64(64 - table_bits)
+    with np.errstate(over="ignore"):
+        prefilter = np.zeros(1 << table_bits, dtype=bool)
+        prefilter[(skey.astype(np.uint64) * _mult) >> _shift] = True
+    # edges sorted by (tail, neighbor color) — one int64 composite key.
+    # p_span must cover the TRIPLE's colors too: segs() probes tail*span+c
+    # for triple colors that may exceed any color present in this
+    # subproblem, and a too-small span would alias such probes onto other
+    # tails' key ranges.
+    p_span = max(int(col.max()), int(triple[0]), int(triple[1]),
+                 int(triple[2])) + 2
+    nbr_col = col[h]
+    order = np.argsort(l.astype(np.int64) * p_span + nbr_col, kind="stable")
     lt, ht = l[order], h[order]
-    _, start_idx, counts = np.unique(lt, return_index=True, return_counts=True)
-    pos = np.arange(len(lt)) - np.repeat(start_idx, counts)
-    first_count = np.repeat(counts, counts) - pos - 1  # pairs led by each edge
-    cum = np.concatenate([[0], np.cumsum(first_count)])
+    key_sorted = lt.astype(np.int64) * p_span + nbr_col[order]
+    utails = np.unique(lt)
+    tcol = col[utails]
+
+    def segs(c: int) -> tuple[np.ndarray, np.ndarray]:
+        s = np.searchsorted(key_sorted, utails.astype(np.int64) * p_span + c)
+        e = np.searchsorted(key_sorted, utails.astype(np.int64) * p_span + c + 1)
+        return s, e - s
+
     t0, t1, t2 = int(triple[0]), int(triple[1]), int(triple[2])
-    e_start = 0
-    n_edges = len(lt)
-    while e_start < n_edges:
-        e_end = int(np.searchsorted(
-            cum, cum[e_start] + _TRI_CHUNK_PAIRS, side="right")) - 1
-        e_end = min(max(e_end, e_start + 1), n_edges)
-        fc = first_count[e_start:e_end]
-        n_pairs = int(cum[e_end] - cum[e_start])
-        if n_pairs == 0:
-            e_start = e_end
-            continue
-        a_idx = np.repeat(np.arange(e_start, e_end), fc)
-        boff = np.arange(n_pairs) - np.repeat(cum[e_start:e_end] - cum[e_start], fc)
-        b_idx = a_idx + 1 + boff
-        tail = lt[a_idx]
-        x, y = ht[a_idx], ht[b_idx]
-        bb = np.minimum(x, y)
-        cc = np.maximum(x, y)
-        # canonical-color filter: triangle counted only in its home triple
-        c3 = np.sort(np.stack([col[tail], col[bb], col[cc]]), axis=0)
-        keep = (c3[0] == t0) & (c3[1] == t1) & (c3[2] == t2)
-        tail, bb, cc = tail[keep], bb[keep], cc[keep]
-        # closure: {bb,cc} must be an edge of the subproblem
-        pk = (bb << 32) | cc
-        idx = np.searchsorted(skey, pk)
-        np.minimum(idx, len(skey) - 1, out=idx)
-        closed = skey[idx] == pk
-        tail, bb, cc, idx = tail[closed], bb[closed], cc[closed], idx[closed]
-        ab = np.searchsorted(skey, (np.minimum(tail, bb) << 32) | np.maximum(tail, bb))
-        ac = np.searchsorted(skey, (np.minimum(tail, cc) << 32) | np.maximum(tail, cc))
-        yield tail, bb, cc, verts, skey, ab, ac, idx
-        e_start = e_end
+
+    def comb2(tail_mask, c):
+        """C(k,2) pairs within each selected tail's color-c segment."""
+        s, k = segs(c)
+        s, k = s[tail_mask], k[tail_mask]
+        first = _seg_expand(s, k)                    # every edge of the seg
+        pos = _seg_expand(np.zeros(len(s), dtype=np.int64), k)
+        per_first = np.repeat(k, k) - pos - 1        # pairs it leads
+        return first, per_first, first + 1
+
+    def cross(tail_mask, ca, cb):
+        """A×B products between each selected tail's color-ca and
+        color-cb segments."""
+        sa, ka = segs(ca)
+        sb, kb = segs(cb)
+        sa, ka, sb, kb = sa[tail_mask], ka[tail_mask], sb[tail_mask], kb[tail_mask]
+        live = (ka > 0) & (kb > 0)
+        sa, ka, sb, kb = sa[live], ka[live], sb[live], kb[live]
+        first = _seg_expand(sa, ka)                  # every A edge
+        per_first = np.repeat(kb, ka)                # pairs = its tail's |B|
+        second_base = np.repeat(sb, ka)
+        return first, per_first, second_base
+
+    # color-multiset cases: multiset(tail, nbr1, nbr2) == (t0, t1, t2)
+    if t0 == t1 == t2:
+        plans = [comb2(tcol == t0, t0)]
+    elif t0 == t1:                       # (x, x, y)
+        plans = [cross(tcol == t0, t0, t2), comb2(tcol == t2, t0)]
+    elif t1 == t2:                       # (x, y, y)
+        plans = [cross(tcol == t1, t0, t1), comb2(tcol == t0, t1)]
+    else:                                # distinct
+        plans = [cross(tcol == t0, t1, t2),
+                 cross(tcol == t1, t0, t2),
+                 cross(tcol == t2, t0, t1)]
+
+    for first, per_first, second_base in plans:
+        for i_idx, j_idx in _pair_chunks(first, per_first, second_base,
+                                         _TRI_CHUNK_PAIRS):
+            tail = lt[i_idx]
+            x, y = ht[i_idx], ht[j_idx]
+            bb = np.minimum(x, y)
+            cc = np.maximum(x, y)
+            # closure: {bb,cc} must be an edge of the subproblem —
+            # hash prefilter first, exact binary search on survivors only
+            pk = (bb.astype(np.int64) << 32) | cc
+            with np.errstate(over="ignore"):
+                maybe = prefilter[(pk.astype(np.uint64) * _mult) >> _shift]
+            tail, bb, cc, pk = tail[maybe], bb[maybe], cc[maybe], pk[maybe]
+            idx = np.searchsorted(skey, pk)
+            np.minimum(idx, len(skey) - 1, out=idx)
+            closed = skey[idx] == pk
+            tail, bb, cc = tail[closed], bb[closed], cc[closed]
+            ab = ac = None
+            bc = idx[closed]
+            if want_sides:
+                ab = np.searchsorted(
+                    skey,
+                    (np.minimum(tail, bb).astype(np.int64) << 32)
+                    | np.maximum(tail, bb))
+                ac = np.searchsorted(
+                    skey,
+                    (np.minimum(tail, cc).astype(np.int64) << 32)
+                    | np.maximum(tail, cc))
+            yield tail, bb, cc, verts, skey, ab, ac, bc
 
 
 def _tri_kernel(key, pdf):
@@ -265,7 +368,8 @@ def _corner_kernel(key, pdf):
 def _edge_kernel(key, pdf):
     acc = None
     verts = skey = None
-    for tail, _, _, v, sk, ab, ac, bc in _local_triangle_chunks(pdf, key):
+    for tail, _, _, v, sk, ab, ac, bc in _local_triangle_chunks(
+            pdf, key, want_sides=True):
         if acc is None:
             acc = np.zeros(len(sk), dtype=np.int64)
             verts, skey = v, sk

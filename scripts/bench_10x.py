@@ -1,7 +1,7 @@
 """10x rehearsal (VERDICT r3 'next round' #5): the headline graph suite
 at RMAT 2^24 x 16 (~250M deduped arcs, ~10x the 65M-arc scaling input /
 ~60x the sf0.1 bench graph's work) plus near-dup LSH on a 10x documents
-corpus. Emits BENCH_r4_10x.json with per-query wall seconds and shuffle
+corpus. Emits BENCH_r{N}_10x.json (TENX_OUT) with per-query wall seconds and shuffle
 bytes (total written + peak single-stage) read from the Spark REST API,
 so a super-linear cliff shows up as numbers, not vibes.
 
@@ -9,7 +9,7 @@ The graph is generated once to parquet (same generator/seed contract as
 scripts/scaling_bench.py) so reruns skip generation and the measured
 queries read a clean scan, like the Iceberg table at scale.
 
-Usage: python scripts/bench_10x.py    # writes BENCH_r4_10x.json in repo root
+Usage: python scripts/bench_10x.py    # writes BENCH_r5_10x.json (override with TENX_OUT)
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ RMAT_SCALE = int(os.environ.get("TENX_RMAT", "24"))
 EDGE_FACTOR = int(os.environ.get("TENX_EDGE_FACTOR", "16"))
 UI_PORT = 4049
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "BENCH_r4_10x.json")
+OUT = os.path.join(REPO, os.environ.get("TENX_OUT", "BENCH_r5_10x.json"))
 
 
 def rest(appid_path: str):
@@ -145,8 +145,8 @@ def main():
         return not only or bool(only & set(names))
 
     graph_queries = (
-        "pagerank_prepare", "pagerank_5iter", "cc_converge",
-        "plp_2iter", "triangle_total",
+        "pagerank_prepare", "pagerank_prepare_bucketed", "bucketed_ingest",
+        "pagerank_5iter", "cc_converge", "plp_2iter", "triangle_total",
     )
     if wanted(*graph_queries):
         edges = spark.read.parquet(edges_path).persist()
@@ -154,6 +154,25 @@ def main():
         extra["arcs"] = m
         print(f"graph: {m} arcs", file=sys.stderr)
         g_dir = Graph.from_edges(edges, directed=True, num_partitions=128)
+
+        if wanted("pagerank_prepare_bucketed"):
+            # The bucketed-ingest path (sources/bucketed.py): pay the
+            # src shuffle ONCE at table write, then prepare reads the
+            # layout and plans no exchange. ingest row = the write;
+            # prepare row = what every later session pays.
+            from networkit_spark.sources.bucketed import (
+                read_bucketed_graph, write_edges_bucketed)
+
+            tbl = f"rmat{RMAT_SCALE}x{EDGE_FACTOR}_bucketed"
+            timed("bucketed_ingest",
+                  lambda: write_edges_bucketed(
+                      edges, tbl, 128,
+                      path=f"/tmp/{tbl}_tbl", mode="overwrite"))
+            g_bkt = read_bucketed_graph(spark, tbl, directed=True)
+            prep_b = timed("pagerank_prepare_bucketed",
+                           lambda: PreparedPageRank(g_bkt, src_partitioned=True))
+            if prep_b is not None:
+                prep_b.unpersist()
 
         if wanted("pagerank_prepare", "pagerank_5iter"):
             prep = timed("pagerank_prepare", lambda: PreparedPageRank(g_dir)) \
@@ -211,6 +230,52 @@ def main():
         timed("near_dup_lsh_10x",
               lambda: force(near_duplicates(docs10, threshold=0.5)))
         docs10.unpersist()
+
+    # Skewed-boilerplate rehearsal (VERDICT r4 #7): a single boilerplate
+    # cluster of 20k byte-identical docs on top of the sf corpus — every
+    # band hashes the whole cluster into ONE bucket, 5x over the default
+    # max_bucket=4096, so this run actually exercises the hot-bucket
+    # salting + star spine at scale. Checks recorded alongside the wall:
+    # candidate pairs from the cluster stay ~linear (vs 200M all-pairs),
+    # and dedup_clusters keeps the cluster transitively ONE group.
+    if wanted("near_dup_lsh_skew"):
+        from networkit_spark.operators.dedup import (
+            dedup_clusters, lsh_candidate_pairs)
+
+        BOILER = 20_000
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        boiler = spark.range(BOILER).select(
+            (F.col("id") + F.lit(900_000_000)).alias("doc_id"),
+            F.lit("all rights reserved cookie consent banner please accept "
+                  "our terms of service and privacy policy to continue to "
+                  "the site content navigation home about contact"
+                  ).alias("text"),
+            F.lit("en").alias("lang"), F.lit("boiler").alias("source"),
+            F.lit(150).alias("n_chars"),
+        )
+        docs_skew = docs.unionByName(boiler).repartition(64).persist()
+        extra["skew_docs"] = docs_skew.count()
+
+        def _skew():
+            cand = lsh_candidate_pairs(docs_skew).persist()
+            n_cand = cand.count()
+            boiler_pairs = cand.filter(
+                (F.col("doc_a") >= 900_000_000) & (F.col("doc_b") >= 900_000_000)
+            ).count()
+            clusters = dedup_clusters(docs_skew, threshold=0.5).persist()
+            boiler_clusters = (
+                clusters.filter(F.col("doc_id") >= 900_000_000)
+                .select("cluster").distinct().count()
+            )
+            extra["skew_candidate_pairs"] = n_cand
+            extra["skew_boiler_pairs"] = boiler_pairs
+            extra["skew_boiler_allpairs_would_be"] = BOILER * (BOILER - 1) // 2
+            extra["skew_boiler_clusters"] = boiler_clusters  # must be 1
+            cand.unpersist()
+            clusters.unpersist()
+
+        timed("near_dup_lsh_skew", _skew)
+        docs_skew.unpersist()
 
     payload = _flush()
     print(json.dumps(payload))

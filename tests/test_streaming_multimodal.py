@@ -9,10 +9,9 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import Graph
 from networkit_spark.operators.components import connected_components
 from networkit_spark.operators.multimodal import (
-    _fake_decode,
-    decode_stub,
     extract_features,
     frame_sample,
+    numpy_decode,
     resize_plan,
     synthetic_media,
 )
@@ -80,11 +79,17 @@ def test_multimodal_features(spark):
     feats = extract_features(media).collect()
     assert len(feats) == 12
     by_id = {r["media_id"]: r["features"] for r in feats}
-    # deterministic fake decode: recompute driver-side
+    # REAL decode (numpy BMP/WAV/PPM codecs): recompute driver-side
     for r in media.collect():
-        expect = _fake_decode(bytes(r["payload"]))
+        expect = numpy_decode(bytes(r["payload"]))
         assert np.allclose(by_id[r["media_id"]], expect)
     assert all(len(v) == 8 for v in by_id.values())
+    # features come from actual pixels/samples, not byte histograms:
+    # every image's leading triple is a mean-RGB in (0, 1)
+    img_rows = [r for r in media.collect() if r["kind"] == "image"]
+    for r in img_rows:
+        lead = by_id[r["media_id"]][:3]
+        assert all(0.0 < x < 1.0 for x in lead)
 
 
 def test_frame_sample_and_resize_prune_payload(spark, tmp_path):
@@ -103,10 +108,11 @@ def test_frame_sample_and_resize_prune_payload(spark, tmp_path):
     assert "payload" not in rp._jdf.queryExecution().executedPlan().toString()
 
 
-def test_decode_stub_raises(spark):
-    media = synthetic_media(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        decode_stub(media)
+def test_unsupported_codec_raises(spark):
+    # compressed formats without their library must fail loudly at the
+    # sniffer, not mis-decode
+    with pytest.raises(ValueError, match="unsupported media payload"):
+        numpy_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
 
 
 def test_incremental_cc_deletions_split(spark):
