@@ -59,6 +59,16 @@ from networkit_spark.operators.triangles import (
 from networkit_spark.operators.plm import plm
 from networkit_spark.operators.leiden import leiden
 from networkit_spark.operators.coarsening import coarsen, prolong
+from networkit_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sampled_frame_features,
+    synthetic_media,
+)
+from networkit_spark.sources.bucketed import (
+    read_bucketed_graph,
+    write_edges_bucketed,
+)
 from networkit_spark.operators.distances import (
     closeness_centrality,
     diameter_double_sweep,

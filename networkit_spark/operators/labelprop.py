@@ -69,7 +69,8 @@ class PLPResult:
 def _heaviest_labels(labels: DataFrame, sym: DataFrame,
                      active: DataFrame | None = None,
                      broadcast_labels: bool = False,
-                     repartition_nid: int | None = None) -> DataFrame:
+                     repartition_nid: int | None = None,
+                     weighted: bool = True) -> DataFrame:
     """One synchronous sweep: (id, heaviest) for every node with ≥1 neighbor.
 
     active: optional node set — the semi-join is pushed BELOW the
@@ -89,14 +90,18 @@ def _heaviest_labels(labels: DataFrame, sym: DataFrame,
       ((nid,label) ⊇ nid and (nid)), so neither aggregation adds an
       exchange: one m-row shuffle per sweep instead of two."""
     lbl = F.broadcast(labels) if broadcast_labels else labels
-    msgs = lbl.join(sym, lbl.id == sym.src).select(
-        F.col("dst").alias("nid"), "label", "weight"
-    )
+    # Unweighted graphs: every weight is defaultEdgeWeight=1.0, so the
+    # message drops the weight column (-33% exchange bytes) and the
+    # label weight is a count — same winner, reference semantics intact.
+    msg_cols = [F.col("dst").alias("nid"), "label"] + (
+        ["weight"] if weighted else [])
+    msgs = lbl.join(sym, lbl.id == sym.src).select(*msg_cols)
     if active is not None:
         msgs = msgs.join(active.select(F.col("id").alias("nid")), "nid", "left_semi")
     if repartition_nid:
         msgs = msgs.repartition(repartition_nid, "nid")
-    lw = msgs.groupBy("nid", "label").agg(F.sum("weight").alias("w"))
+    agg = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
+    lw = msgs.groupBy("nid", "label").agg(agg.alias("w"))
     # argmax(w desc, label asc) as a lexicographic struct-max: a pure hash
     # aggregation (partial+final) instead of a sort-based window — same
     # winner, no per-partition sort. -label encodes the smallest-label
@@ -146,12 +151,21 @@ def label_propagation(
     # web scale (n beyond broadcast reach) fall back to src partitioning
     # + one nid exchange per sweep.
     broadcast_mode = n <= int(os.environ.get("NKS_PLP_BROADCAST_N", "8000000"))
+    # Large-regime exchange strategy (A/B-able, see BENCH_r5_10x plp rows):
+    # 1 → repartition raw messages ONCE on nid (both aggs then local;
+    # no map-side combine), 0 → let the two aggregations exchange
+    # ((nid,label) then nid; partial aggregation compresses sweeps where
+    # labels have coalesced). Bytes are within noise of each other at
+    # 2^24; the combine-friendly form wins once labels repeat.
+    single_exchange = os.environ.get("NKS_PLP_NID_EXCHANGE", "0") == "1"
     part_key = "dst" if broadcast_mode else "src"
     # Self-loops participate in the label weighing (reference forNeighborsOf
-    # yields them), so keep them in the message table.
-    sym = graph.symmetrized_edges().repartition(num, part_key).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # yields them), so keep them in the message table. Unweighted graphs
+    # persist only (src, dst) — the constant weight never ships.
+    sym = graph.symmetrized_edges()
+    if not graph.weighted:
+        sym = sym.select("src", "dst")
+    sym = sym.repartition(num, part_key).persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
     if base_labels is not None:
@@ -182,7 +196,9 @@ def label_propagation(
         heaviest = _heaviest_labels(
             labels, sym, active_set,
             broadcast_labels=broadcast_mode,
-            repartition_nid=None if broadcast_mode else num,
+            repartition_nid=num if (single_exchange and not broadcast_mode)
+            else None,
+            weighted=graph.weighted,
         )
 
         merged = (
